@@ -1,0 +1,76 @@
+"""Import torch ``.pth`` checkpoints into JAX parameter dicts.
+
+The reference distributes every pretrained artifact as torch ``.pth`` files
+(subject-model weights downloaded per ModelConfig, reference:
+src/utils/hubs.py:69-130; MILAN checkpoints as Serializable payloads,
+reference: src/utils/serialize.py:175-269, src/milan/loaders.py:9-25).
+This module converts those files into flat numpy/JAX dicts.
+
+Two paths:
+- ``load_state_dict``: uses torch (CPU build, available as a tools-only
+  dependency in this image) with ``map_location='cpu'``. This path handles
+  every pickle the reference can produce, including legacy serialization.
+- torch is imported lazily so the core framework never depends on it at
+  runtime; TPU-side code only ever sees numpy/jnp arrays.
+"""
+import pathlib
+from typing import Any, Dict, Mapping, Optional
+
+import numpy as np
+
+from neuron_descriptions_tpu.utils.typing import PathLike
+
+__all__ = ["load_state_dict", "to_numpy_tree"]
+
+
+def _torch():
+    try:
+        import torch  # noqa: PLC0415
+    except ImportError as error:  # pragma: no cover
+        raise ImportError(
+            "loading .pth checkpoints requires the (CPU) torch tool "
+            "dependency; install torch or convert the checkpoint offline"
+        ) from error
+    return torch
+
+
+def to_numpy_tree(obj: Any) -> Any:
+    """Recursively convert torch tensors in a container to numpy arrays."""
+    torch = _torch()
+    if isinstance(obj, torch.Tensor):
+        return obj.detach().cpu().numpy()
+    if isinstance(obj, Mapping):
+        return {key: to_numpy_tree(value) for key, value in obj.items()}
+    if isinstance(obj, (list, tuple)):
+        converted = [to_numpy_tree(value) for value in obj]
+        return type(obj)(converted) if isinstance(obj, tuple) else converted
+    return obj
+
+
+def load_state_dict(path: PathLike,
+                    transform: Optional[Any] = None
+                    ) -> Dict[str, np.ndarray]:
+    """Load a ``.pth`` state dict as a flat name → numpy array mapping.
+
+    Args:
+        path: The checkpoint file.
+        transform: Optional callable applied to the raw loaded object before
+            conversion — the rebuild's analog of the reference's
+            ``transform_weights`` hook (e.g. ``lambda w: w['state_dict']``
+            for places365 checkpoints, reference:
+            src/exemplars/models.py:180-182).
+    """
+    torch = _torch()
+    path = pathlib.Path(path)
+    payload = torch.load(str(path), map_location="cpu", weights_only=False)
+    if transform is not None:
+        payload = transform(payload)
+    if not isinstance(payload, Mapping):
+        raise ValueError(
+            f"expected a state-dict mapping in {path}, got "
+            f"{type(payload).__name__}")
+    state = {}
+    for key, value in payload.items():
+        if isinstance(value, torch.Tensor):
+            state[key] = value.detach().cpu().numpy()
+    return state
