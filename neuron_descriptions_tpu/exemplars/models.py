@@ -1,0 +1,364 @@
+"""Configs describing how to compute exemplars for each subject model.
+
+Key-for-key rebuild of the reference registry (reference:
+src/exemplars/models.py): ``arch/dataset`` names map to a ``ModelConfig``
+holding a factory, optional weight URL + rekeying hook, the default layer
+list, and dissection hyperparameters.
+
+The factory contract is functional: each returns a ``SubjectModel`` whose
+``apply(params, *inputs) -> (outputs, {layer: activations})`` — taps are
+returned, never hooked.
+"""
+import dataclasses
+from typing import (Any, Callable, Dict, Mapping, Optional, Sequence, Tuple)
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from neuron_descriptions_tpu import models as model_zoo
+from neuron_descriptions_tpu.exemplars import datasets, transforms
+from neuron_descriptions_tpu.milannotations import loaders as milannotations
+from neuron_descriptions_tpu.utils import hubs
+from neuron_descriptions_tpu.utils.edict import EasyDict
+from neuron_descriptions_tpu.utils.typing import Array, Layer
+
+__all__ = [
+    "KEYS", "LAYERS", "SubjectModel", "ModelConfig",
+    "ModelExemplarsConfig", "DiscriminativeModelExemplarsConfig",
+    "GenerativeModelExemplarsConfig", "default_model_configs",
+    "default_model_hub", "load", "rekey_vgg16",
+]
+
+HOST = "https://dissect.csail.mit.edu/models"
+
+KEYS = EasyDict(d=dict(milannotations.KEYS))
+
+LAYERS = EasyDict()
+LAYERS.ALEXNET = ("conv1", "conv2", "conv3", "conv4", "conv5")
+LAYERS.BIGGAN = ("layer0", "layer1", "layer2", "layer3", "layer4", "layer5")
+LAYERS.DENSENET121 = (
+    "features.conv0",
+    *(f"features.denseblock{index}" for index in range(1, 5)))
+LAYERS.DENSENET201 = LAYERS.DENSENET121
+LAYERS.DINO_VITS8 = tuple(f"blocks.{layer}.mlp.fc1" for layer in range(12))
+LAYERS.MOBILENET_V2 = tuple(f"features.{index}" for index in range(0, 19, 2))
+LAYERS.RESNET18 = ("conv1", "layer1", "layer2", "layer3", "layer4")
+LAYERS.RESNET34 = LAYERS.RESNET18
+LAYERS.RESNET50 = LAYERS.RESNET18
+LAYERS.RESNET101 = LAYERS.RESNET18
+LAYERS.RESNET152 = LAYERS.RESNET18
+LAYERS.SHUFFLENET_V2_X1_0 = ("conv1", "stage2", "stage3", "stage4", "conv5")
+LAYERS.SQUEEZENET1_0 = tuple(
+    f"features.{index}" for index in (0, 3, 4, 5, 7, 8, 9, 10, 12))
+LAYERS.VGG11 = model_zoo.vgg.LAYERS[11]
+LAYERS.VGG13 = model_zoo.vgg.LAYERS[13]
+LAYERS.VGG16 = model_zoo.vgg.LAYERS[16]
+LAYERS.VGG19 = model_zoo.vgg.LAYERS[19]
+
+
+@dataclasses.dataclass
+class SubjectModel:
+    """A functional subject model: apply + params + dissectable layers."""
+
+    apply: Callable[..., Tuple[Array, Dict[str, Array]]]
+    params: Any
+    layers: Sequence[Layer]
+
+    def __call__(self, *inputs: Any) -> Tuple[Array, Dict[str, Array]]:
+        return self.apply(self.params, *inputs)
+
+
+def _merge_weights(params: Dict[str, Array],
+                   weights: Optional[Mapping[str, np.ndarray]],
+                   strict: bool = True) -> Dict[str, Array]:
+    """Overlay an imported torch state dict onto our init params."""
+    if weights is None:
+        return params
+    merged = dict(params)
+    for name, value in weights.items():
+        if name.endswith("num_batches_tracked"):
+            continue
+        if name not in merged:
+            if strict:
+                raise KeyError(f"unexpected weight: {name}")
+            continue
+        if tuple(merged[name].shape) != tuple(value.shape):
+            raise ValueError(f"shape mismatch for {name}: "
+                             f"{merged[name].shape} vs {value.shape}")
+        merged[name] = jnp.asarray(value)
+    return merged
+
+
+def rekey_vgg16(state_dict: Mapping[str, Any]) -> Dict[str, Any]:
+    """Convert places365-style vgg16 state dict keys to torchvision-style
+    (reference: src/exemplars/models.py:62-77)."""
+    mappings = dict([("conv1_1", "0"), ("conv1_2", "2"), ("conv2_1", "5"),
+                     ("conv2_2", "7"), ("conv3_1", "10"), ("conv3_2", "12"),
+                     ("conv3_3", "14"), ("conv4_1", "17"), ("conv4_2", "19"),
+                     ("conv4_3", "21"), ("conv5_1", "24"), ("conv5_2", "26"),
+                     ("conv5_3", "28"), ("fc6", "0"), ("fc7", "3"),
+                     ("fc8", "6"), ("fc8a", "6")])
+
+    def translate(name: str) -> str:
+        parts = name.split(".")
+        if len(parts) > 1 and parts[1] in mappings:
+            parts[1] = mappings[parts[1]]
+        return ".".join(parts)
+
+    return {translate(k): v for k, v in state_dict.items()}
+
+
+# ---------------------------------------------------------------------------
+# Exemplar configs (dissection hyperparameters per model).
+# ---------------------------------------------------------------------------
+@dataclasses.dataclass(frozen=True)
+class ModelExemplarsConfig:
+    """Generic dissection configuration (reference: models.py:80-98)."""
+
+    k: Optional[int] = None
+    quantile: Optional[float] = None
+    output_size: Optional[int] = None
+    batch_size: Optional[int] = None
+    image_size: Optional[int] = None
+    renormalizer: Optional[Any] = None
+
+    @property
+    def kwargs(self) -> Mapping[str, Any]:
+        return {key: value for key, value in vars(self).items()
+                if value is not None}
+
+
+@dataclasses.dataclass(frozen=True)
+class DiscriminativeModelExemplarsConfig(ModelExemplarsConfig):
+    """Dissection configuration for a discriminative model."""
+
+    transform_inputs: Optional[Callable] = None
+    transform_hiddens: Optional[Callable] = None
+
+
+@dataclasses.dataclass(frozen=True)
+class GenerativeModelExemplarsConfig(ModelExemplarsConfig):
+    """Dissection configuration for a generative model."""
+
+    transform_inputs: Optional[Callable] = None
+    transform_hiddens: Optional[Callable] = None
+    transform_outputs: Optional[Callable] = None
+    dataset: Optional[str] = None
+
+    def __post_init__(self) -> None:
+        if self.dataset is None:
+            raise ValueError("GenerativeModelExemplarsConfig requires "
+                             "dataset to be set")
+
+    @property
+    def kwargs(self) -> Mapping[str, Any]:
+        kwargs = dict(super().kwargs)
+        kwargs.pop("dataset", None)
+        return kwargs
+
+
+class ModelConfig(hubs.ModelConfig):
+    """A model config that also stores dissection configuration
+    (reference: models.py:140-157)."""
+
+    def __init__(self,
+                 *args: Any,
+                 layers: Optional[Sequence[Layer]] = None,
+                 exemplars: Optional[ModelExemplarsConfig] = None,
+                 **kwargs: Any):
+        super().__init__(*args, **kwargs)
+        self.layers = layers
+        self.exemplars = exemplars or ModelExemplarsConfig()
+
+
+# ---------------------------------------------------------------------------
+# Factories.
+# ---------------------------------------------------------------------------
+def _resnet_factory(depth: int, num_classes: int = 1000, seed: int = 0,
+                    weights: Optional[Mapping] = None) -> SubjectModel:
+    params = model_zoo.resnet.init(jax.random.PRNGKey(seed), depth,
+                                   num_classes)
+    params = _merge_weights(params, weights, strict=False)
+
+    def apply(p, x):
+        return model_zoo.resnet.apply(p, x, depth=depth)
+
+    return SubjectModel(apply=apply, params=params,
+                        layers=model_zoo.resnet.LAYERS)
+
+
+def _alexnet_factory(num_classes: int = 1000, seed: int = 0,
+                     weights: Optional[Mapping] = None) -> SubjectModel:
+    params = model_zoo.alexnet.init(jax.random.PRNGKey(seed), num_classes)
+    params = _merge_weights(params, weights, strict=False)
+    return SubjectModel(apply=model_zoo.alexnet.apply, params=params,
+                        layers=model_zoo.alexnet.LAYERS)
+
+
+def _alexnet_places365_factory(num_classes: int = 365, seed: int = 0,
+                               weights: Optional[Mapping] = None
+                               ) -> SubjectModel:
+    params = model_zoo.alexnet.init_places365(jax.random.PRNGKey(seed),
+                                              num_classes)
+    params = _merge_weights(params, weights, strict=False)
+    return SubjectModel(apply=model_zoo.alexnet.apply_places365,
+                        params=params, layers=model_zoo.alexnet.LAYERS)
+
+
+def _vgg_factory(depth: int, num_classes: int = 1000, seed: int = 0,
+                 weights: Optional[Mapping] = None) -> SubjectModel:
+    params = model_zoo.vgg.init(jax.random.PRNGKey(seed), depth, num_classes)
+    params = _merge_weights(params, weights, strict=False)
+
+    def apply(p, x):
+        return model_zoo.vgg.apply(p, x, depth=depth)
+
+    return SubjectModel(apply=apply, params=params,
+                        layers=model_zoo.vgg.LAYERS[depth])
+
+
+def _vit_factory(seed: int = 0,
+                 weights: Optional[Mapping] = None) -> SubjectModel:
+    params = model_zoo.vit.init(jax.random.PRNGKey(seed))
+    params = _merge_weights(params, weights, strict=False)
+    return SubjectModel(apply=model_zoo.vit.apply, params=params,
+                        layers=model_zoo.vit.LAYERS)
+
+
+def _not_yet_implemented(arch: str) -> Callable[..., SubjectModel]:
+    def factory(**_: Any) -> SubjectModel:
+        raise NotImplementedError(
+            f"subject-model architecture '{arch}' is not yet ported to the "
+            "TPU zoo; see neuron_descriptions_tpu/models/ for available "
+            "architectures")
+
+    return factory
+
+
+def _partial(fn: Callable, **bound: Any) -> Callable:
+    def factory(**kwargs: Any):
+        return fn(**{**bound, **kwargs})
+
+    return factory
+
+
+# ---------------------------------------------------------------------------
+# Registry.
+# ---------------------------------------------------------------------------
+def default_model_configs(**others: ModelConfig) -> Mapping[str, ModelConfig]:
+    """Return the default model configs (reference: models.py:160-403)."""
+    configs: Dict[str, ModelConfig] = {}
+
+    # --- AlexNet ---
+    configs[KEYS.ALEXNET_IMAGENET] = ModelConfig(
+        _alexnet_factory,
+        url=f"{hubs.HOST}/models/alexnet-imagenet.pth",
+        layers=LAYERS.ALEXNET)
+    configs[KEYS.ALEXNET_IMAGENET_BLURRED] = ModelConfig(
+        _alexnet_factory, layers=tuple(
+            f"features.{i}" for i in (0, 3, 6, 8, 10)))
+    configs[KEYS.ALEXNET_PLACES365] = ModelConfig(
+        _alexnet_places365_factory,
+        url=f"{hubs.HOST}/models/alexnet-places365.pth",
+        transform_weights=lambda weights: weights["state_dict"],
+        layers=LAYERS.ALEXNET)
+
+    # --- VGG ---
+    for depth in (11, 13, 16, 19):
+        key = KEYS[f"VGG{depth}_IMAGENET"]
+        configs[key] = ModelConfig(_partial(_vgg_factory, depth=depth),
+                                   url=f"{hubs.HOST}/models/vgg{depth}-"
+                                       "imagenet.pth",
+                                   layers=LAYERS[f"VGG{depth}"])
+        blurred = KEYS[f"VGG{depth}_IMAGENET_BLURRED"]
+        configs[blurred] = ModelConfig(_partial(_vgg_factory, depth=depth),
+                                       layers=LAYERS[f"VGG{depth}"])
+    configs[KEYS.VGG16_PLACES365] = ModelConfig(
+        _partial(_vgg_factory, depth=16, num_classes=365),
+        url=f"{HOST}/vgg16_places365-0bafbc55.pth",
+        transform_weights=rekey_vgg16,
+        layers=LAYERS.VGG16)
+
+    # --- ResNets ---
+    for depth in (18, 34, 50, 101, 152):
+        key = KEYS[f"RESNET{depth}_IMAGENET"]
+        configs[key] = ModelConfig(_partial(_resnet_factory, depth=depth),
+                                   url=f"{hubs.HOST}/models/resnet{depth}-"
+                                       "imagenet.pth",
+                                   layers=LAYERS[f"RESNET{depth}"])
+        blurred = KEYS[f"RESNET{depth}_IMAGENET_BLURRED"]
+        configs[blurred] = ModelConfig(_partial(_resnet_factory, depth=depth),
+                                       layers=LAYERS[f"RESNET{depth}"])
+    configs[KEYS.RESNET18_PLACES365] = ModelConfig(
+        _partial(_resnet_factory, depth=18, num_classes=365),
+        url=f"{HOST}/resnet18_places365-2f475921.pth",
+        transform_weights=lambda weights: weights["state_dict"],
+        layers=LAYERS.RESNET18)
+    configs[KEYS.RESNET152_PLACES365] = ModelConfig(
+        _partial(_resnet_factory, depth=152, num_classes=365),
+        url=f"{HOST}/resnet152_places365-f928166e5c.pth",
+        layers=LAYERS.RESNET152)
+
+    # --- DINO ViT-S/8 ---
+    configs[KEYS.DINO_VITS8_IMAGENET] = ModelConfig(
+        _vit_factory,
+        url=("https://dl.fbaipublicfiles.com/dino/"
+             "dino_deitsmall8_pretrain/dino_deitsmall8_pretrain.pth"),
+        layers=LAYERS.DINO_VITS8,
+        exemplars=DiscriminativeModelExemplarsConfig(
+            transform_hiddens=transforms.spatialize_vit_mlp,
+            batch_size=32))
+
+    # --- BigGAN (generative) ---
+    for dataset_key, zs_key in (
+            (KEYS.BIGGAN_IMAGENET, datasets.KEYS.BIGGAN_ZS_IMAGENET),
+            (KEYS.BIGGAN_PLACES365, datasets.KEYS.BIGGAN_ZS_PLACES365)):
+        configs[dataset_key] = ModelConfig(
+            _not_yet_implemented("biggan"),
+            load_weights=False,
+            layers=LAYERS.BIGGAN,
+            exemplars=GenerativeModelExemplarsConfig(
+                image_size=256,
+                batch_size=32,
+                dataset=zs_key))
+
+    # --- architectures pending port ---
+    for arch, layer_list in (("densenet121", LAYERS.DENSENET121),
+                             ("densenet201", LAYERS.DENSENET201),
+                             ("mobilenet_v2", LAYERS.MOBILENET_V2),
+                             ("shufflenet_v2_x1_0",
+                              LAYERS.SHUFFLENET_V2_X1_0),
+                             ("squeezenet1_0", LAYERS.SQUEEZENET1_0)):
+        for dataset in ("imagenet", "imagenet-blurred"):
+            configs[f"{arch}/{dataset}"] = ModelConfig(
+                _not_yet_implemented(arch), load_weights=False,
+                layers=layer_list)
+
+    configs.update(others)
+    return configs
+
+
+def default_model_hub(**others: ModelConfig) -> hubs.ModelHub:
+    """Return configs for all models we can extract exemplars for."""
+    return hubs.ModelHub(**default_model_configs(**others))
+
+
+Model = Tuple[SubjectModel, Sequence[Layer], ModelConfig]
+
+
+def load(name: str,
+         configs: Optional[Mapping[str, ModelConfig]] = None,
+         **kwargs: Any) -> Model:
+    """Load a model plus its dissectable layers and config
+    (reference: models.py:415-442)."""
+    configs = configs or {}
+    hub = default_model_hub(**configs)
+    model = hub.load(name, **kwargs)
+
+    config = hub.configs[name]
+    assert isinstance(config, ModelConfig), "unknown config type"
+    layers = config.layers
+    if layers is None:
+        layers = list(model.layers)
+    return model, layers, config

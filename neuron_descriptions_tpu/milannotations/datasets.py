@@ -1,0 +1,324 @@
+"""Datasets wrapping per-unit exemplars (top images, masks, annotations).
+
+Numpy-backed rebuild of the reference's dataset layer (reference:
+src/milannotations/datasets.py). The on-disk contract is identical —
+per-layer directories holding ``images.npy`` (units, k, 3, H, W) uint8,
+``masks.npy`` (units, k, 1, H, W), optional ``units.npy``, and a root-level
+``annotations.csv`` — so artifacts from either pipeline load in both.
+
+Images are renormalized byte → [0, 1] float at load (reference:
+datasets.py:157,191-197). Samples are host numpy; the device pipeline
+batches them per-unit for the encoder, so there is no reason to hold the
+whole corpus in HBM.
+"""
+import collections
+import csv
+import pathlib
+from typing import (Any, Callable, Iterable, NamedTuple, Optional, Sequence,
+                    Union)
+
+import numpy as np
+from PIL import Image
+
+from neuron_descriptions_tpu.utils.typing import (Layer, PathLike,
+                                                  StrSequence, Unit)
+
+__all__ = [
+    "TopImages",
+    "AnnotatedTopImages",
+    "TopImagesDataset",
+    "AnnotatedTopImagesDataset",
+    "AnyTopImages",
+    "AnyTopImagesDataset",
+]
+
+DEFAULT_LAYER_COLUMN = "layer"
+DEFAULT_UNIT_COLUMN = "unit"
+DEFAULT_ANNOTATION_COLUMN = "summary"
+DEFAULT_ANNOTATIONS_FILE_NAME = "annotations.csv"
+
+
+class TopImages(NamedTuple):
+    """Top images for one unit (reference: datasets.py:20-90)."""
+
+    layer: str
+    unit: int
+    images: np.ndarray  # (k, 3, H, W) float in [0, 1]
+    masks: np.ndarray  # (k, 1, H, W) float {0, 1}
+
+    def as_masked_images_array(self, opacity: float = 0.75) -> np.ndarray:
+        """Apply masks to images: masked-out area dimmed by `opacity`."""
+        if opacity < 0 or opacity > 1:
+            raise ValueError(f"opacity must be in [0, 1], got {opacity}")
+        masks = self.masks.astype(np.float32).copy()
+        masks[masks == 0] = 1 - opacity
+        return self.images * masks
+
+    def as_pil_images(self, opacity: float = 0.75) -> Sequence[Image.Image]:
+        """Convert to individual PIL images."""
+        arrays = self.as_masked_images_array(opacity=opacity)
+        arrays = (arrays.clip(0, 1) * 255).astype(np.uint8)
+        return [Image.fromarray(a.transpose(1, 2, 0)) for a in arrays]
+
+    def as_pil_image_grid(self, opacity: float = 0.75, nrow: int = 5,
+                          pad: int = 2) -> Image.Image:
+        """Pack all top images into one grid image."""
+        tiles = self.as_pil_images(opacity=opacity)
+        k = len(tiles)
+        rows = -(-k // nrow)
+        w, h = tiles[0].size
+        grid = Image.new("RGB", (nrow * (w + pad) + pad,
+                                 rows * (h + pad) + pad))
+        for i, tile in enumerate(tiles):
+            r, c = divmod(i, nrow)
+            grid.paste(tile, (pad + c * (w + pad), pad + r * (h + pad)))
+        return grid
+
+
+class AnnotatedTopImages(NamedTuple):
+    """Top images plus human annotations (reference: datasets.py:301-324)."""
+
+    layer: str
+    unit: int
+    images: np.ndarray
+    masks: np.ndarray
+    annotations: StrSequence
+
+    def as_top_images(self) -> TopImages:
+        return TopImages(*self[:-1])
+
+    def as_masked_images_array(self, **kwargs: Any) -> np.ndarray:
+        return self.as_top_images().as_masked_images_array(**kwargs)
+
+    def as_pil_images(self, **kwargs: Any) -> Sequence[Image.Image]:
+        return self.as_top_images().as_pil_images(**kwargs)
+
+    def as_pil_image_grid(self, **kwargs: Any) -> Image.Image:
+        return self.as_top_images().as_pil_image_grid(**kwargs)
+
+
+class TopImagesDataset:
+    """Top-activating images for individual units
+    (reference: datasets.py:93-292)."""
+
+    def __init__(self,
+                 root: PathLike,
+                 name: Optional[str] = None,
+                 layers: Optional[Iterable[Layer]] = None,
+                 transform_images: Optional[Callable] = None,
+                 transform_masks: Optional[Callable] = None,
+                 display_progress: bool = True):
+        root = pathlib.Path(root)
+        if not root.is_dir():
+            raise FileNotFoundError(f"root directory not found: {root}")
+
+        if layers is None:
+            layers = [f.name for f in root.iterdir() if f.is_dir()]
+        if not layers:
+            raise ValueError("no layers given and root has no subdirectories")
+
+        if name is None:
+            name = f"{root.parent.name}/{root.name}"
+
+        self.root = root
+        self.name = name
+        self.layers = tuple(sorted(str(layer) for layer in layers))
+        self.transform_images = transform_images
+        self.transform_masks = transform_masks
+
+        self.images_by_layer = {}
+        self.masks_by_layer = {}
+        self.units_by_layer = {}
+        for layer in self.layers:
+            images_file = root / layer / "images.npy"
+            masks_file = root / layer / "masks.npy"
+            for file in (images_file, masks_file):
+                if not file.exists():
+                    raise FileNotFoundError(f"{layer} is missing {file.name}")
+
+            images = np.load(images_file)
+            masks = np.load(masks_file)
+
+            for label, tensor in (("images", images), ("masks", masks)):
+                if tensor.ndim != 5:
+                    raise ValueError(f"expected 5D {label}, got "
+                                     f"{tensor.ndim}D in layer {layer}")
+            if images.shape[:2] != masks.shape[:2]:
+                raise ValueError(
+                    f"layer {layer} masks/images have different # "
+                    f"unit/images: {images.shape[:2]} vs. {masks.shape[:2]}")
+            if images.shape[3:] != masks.shape[3:]:
+                raise ValueError(
+                    f"layer {layer} masks/images have different "
+                    f"height/width {images.shape[3:]} vs. {masks.shape[3:]}")
+
+            units_file = root / layer / "units.npy"
+            if units_file.exists():
+                units = np.load(units_file)
+                if units.ndim != 1:
+                    raise ValueError(f"expected 1D units, got {units.ndim}D")
+            else:
+                units = np.arange(len(images))
+
+            # byte -> [0, 1] float (reference: datasets.py:157,191-197).
+            images = images.astype(np.float32) / 255.0
+            masks = masks.astype(np.float32)
+
+            self.images_by_layer[layer] = images
+            self.masks_by_layer[layer] = masks
+            self.units_by_layer[layer] = units
+
+        self.samples = []
+        for layer in self.layers:
+            for unit, images, masks in zip(self.units_by_layer[layer],
+                                           self.images_by_layer[layer],
+                                           self.masks_by_layer[layer]):
+                if transform_images is not None:
+                    images = transform_images(images)
+                if transform_masks is not None:
+                    masks = transform_masks(masks)
+                self.samples.append(
+                    TopImages(layer=str(layer), unit=int(unit),
+                              images=images, masks=masks))
+
+    def __getitem__(self, index: int) -> TopImages:
+        return self.samples[index]
+
+    def __len__(self) -> int:
+        return len(self.samples)
+
+    def __add__(self, other: Any):
+        from neuron_descriptions_tpu.utils.hubs import ConcatDataset
+        return ConcatDataset(self, other)
+
+    def lookup(self, layer: Layer, unit: int) -> TopImages:
+        layer = str(layer)
+        if layer not in self.images_by_layer:
+            raise KeyError(f'layer "{layer}" does not exist')
+        if unit >= len(self.images_by_layer[layer]):
+            raise KeyError(f'layer "{layer}" has no unit {unit}')
+        return TopImages(layer=layer, unit=unit,
+                         images=self.images_by_layer[layer][unit],
+                         masks=self.masks_by_layer[layer][unit])
+
+    def unit(self, index: int) -> Unit:
+        sample = self[index]
+        return sample.layer, sample.unit
+
+    def units(self, indices: Sequence[int]) -> Sequence[Unit]:
+        return tuple(self.unit(index) for index in indices)
+
+    @property
+    def k(self) -> int:
+        assert len(self) > 0, "empty dataset?"
+        return self.samples[0].images.shape[0]
+
+
+class AnnotatedTopImagesDataset:
+    """TopImagesDataset joined with annotations
+    (reference: datasets.py:327-505)."""
+
+    def __init__(self,
+                 root: PathLike,
+                 *args: Any,
+                 annotations_csv_file: Optional[PathLike] = None,
+                 layer_column: str = DEFAULT_LAYER_COLUMN,
+                 unit_column: str = DEFAULT_UNIT_COLUMN,
+                 annotation_column: str = DEFAULT_ANNOTATION_COLUMN,
+                 annotation_count: Optional[int] = None,
+                 transform_annotation: Optional[Callable[[str], str]] = None,
+                 transform_annotations: Optional[Callable] = None,
+                 **kwargs: Any):
+        root = pathlib.Path(root)
+        if annotations_csv_file is None:
+            annotations_csv_file = root / DEFAULT_ANNOTATIONS_FILE_NAME
+
+        annotations_csv_file = pathlib.Path(annotations_csv_file)
+        if not annotations_csv_file.is_file():
+            raise FileNotFoundError(
+                f"annotations_csv_file not found: {annotations_csv_file}")
+
+        with annotations_csv_file.open("r") as handle:
+            reader = csv.DictReader(handle)
+            assert reader.fieldnames is not None, "null columns?"
+            fields = set(reader.fieldnames)
+            rows = tuple(reader)
+
+        for column in (layer_column, unit_column, annotation_column):
+            if column not in fields:
+                raise KeyError(f"annotations csv missing column: {column}")
+
+        annotations_by_layer_unit = collections.defaultdict(list)
+        for row in rows:
+            layer_str = row[layer_column]
+            layer: Layer = (int(layer_str)
+                            if layer_str.isdigit() else layer_str)
+            unit = int(row[unit_column])
+            annotation = row[annotation_column]
+            if transform_annotation is not None:
+                annotation = transform_annotation(annotation)
+            annotations_by_layer_unit[str(layer), unit].append(annotation)
+
+        top_images_dataset = TopImagesDataset(root, *args, **kwargs)
+        samples = []
+        if annotation_count is None:
+            for top_images in top_images_dataset.samples:
+                la, un = top_images.layer, top_images.unit
+                annotations: StrSequence = annotations_by_layer_unit[la, un]
+                if transform_annotations is not None:
+                    annotations = transform_annotations(annotations)
+                samples.append(
+                    AnnotatedTopImages(layer=la, unit=un,
+                                       images=top_images.images,
+                                       masks=top_images.masks,
+                                       annotations=tuple(annotations)))
+        else:
+            for key, annotations in annotations_by_layer_unit.items():
+                if len(annotations) < annotation_count:
+                    continue
+                annotations = annotations[:annotation_count]
+                if transform_annotations is not None:
+                    annotations = transform_annotations(annotations)
+                top_images = top_images_dataset.lookup(*key)
+                samples.append(
+                    AnnotatedTopImages(layer=top_images.layer,
+                                       unit=top_images.unit,
+                                       images=top_images.images,
+                                       masks=top_images.masks,
+                                       annotations=tuple(annotations)))
+        self.samples = tuple(samples)
+        self.samples_by_layer_unit = {(s.layer, s.unit): s for s in samples}
+        self.name = top_images_dataset.name
+        self.layers = top_images_dataset.layers
+
+    def __getitem__(self, index: int) -> AnnotatedTopImages:
+        return self.samples[index]
+
+    def __len__(self) -> int:
+        return len(self.samples)
+
+    def __add__(self, other: Any):
+        from neuron_descriptions_tpu.utils.hubs import ConcatDataset
+        return ConcatDataset(self, other)
+
+    def lookup(self, layer: Layer, unit: int) -> AnnotatedTopImages:
+        key = (str(layer), unit)
+        if key not in self.samples_by_layer_unit:
+            raise KeyError(f"no annotated top images for: {key}")
+        return self.samples_by_layer_unit[key]
+
+    def unit(self, index: int) -> Unit:
+        sample = self[index]
+        return sample.layer, sample.unit
+
+    def units(self, indices: Sequence[int]) -> Sequence[Unit]:
+        return tuple(self.unit(index) for index in indices)
+
+    @property
+    def k(self) -> int:
+        assert len(self) > 0, "empty dataset?"
+        return self.samples[0].images.shape[0]
+
+
+AnyTopImages = Union[TopImages, AnnotatedTopImages]
+AnyTopImagesDataset = Union[TopImagesDataset, AnnotatedTopImagesDataset]
