@@ -101,6 +101,7 @@ def _load_tally_cache(path: Optional[pathlib.Path],
 def compute(compute_topk_and_quantile: ComputeTopkAndQuantileFn,
             compute_activations: ComputeActivationsFn,
             dataset: Any,
+            mesh: Optional[Any] = None,
             units: Optional[Sequence[int]] = None,
             k: int = 15,
             quantile: float = 0.99,
@@ -127,6 +128,12 @@ def compute(compute_topk_and_quantile: ComputeTopkAndQuantileFn,
     (reference: src/exemplars/compute.py:27-117). Additional args:
 
     Args:
+        mesh: Optional ``jax.sharding.Mesh`` with a ``'data'`` axis. When
+            given, pass 1 runs data-parallel: each host batch is sharded
+            along the batch axis, the subject-model forward runs SPMD over
+            the mesh, and per-device topk/quantile partials are merged with
+            the associative ``ops.*.merge`` reductions at the end (the
+            reference has no multi-device path at all, SURVEY.md §2.11).
         r: Quantile sketch resolution (reference: tally.py:200).
         rng_seed: Seed for the sketch's sampling PRNG (the reference relies
             on torch's global RNG; ours is explicit and deterministic).
@@ -196,6 +203,11 @@ def compute(compute_topk_and_quantile: ComputeTopkAndQuantileFn,
         cache_args)
     if cached is not None:
         tk, qs = cached
+    elif mesh is not None:
+        tk, qs = _sharded_pass1(compute_topk_and_quantile, dataset, mesh,
+                                k=k, r=r, batch_size=batch_size,
+                                num_workers=num_workers, rng_seed=rng_seed,
+                                display_progress=display_progress)
     else:
         fold = jax.jit(_fold_stats, donate_argnums=(0, 1))
         key = jax.random.PRNGKey(rng_seed)
@@ -305,6 +317,50 @@ def _fold_stats(tk, qs, pooled, flat, start, key):
     tk = topk_ops.update(tk, pooled, start)
     qs = quantile_ops.update(qs, flat, key)
     return tk, qs
+
+
+def _sharded_pass1(compute_topk_and_quantile: ComputeTopkAndQuantileFn,
+                   dataset: Any, mesh: Any, *, k: int, r: int,
+                   batch_size: int, num_workers: int, rng_seed: int,
+                   display_progress: bool) -> ActivationStats:
+    """Pass 1 over a device mesh: SPMD forward + per-device partial folds.
+
+    Host batches are padded to a multiple of the mesh size and device_put
+    sharded along the batch axis, so the (jitted) subject-model forward
+    inside ``compute_topk_and_quantile`` runs data-parallel; the stats fold
+    is a ``shard_map`` with zero per-batch collectives
+    (see parallel/sharded.py).
+    """
+    from neuron_descriptions_tpu.parallel import mesh as mesh_lib
+    from neuron_descriptions_tpu.parallel import sharded
+
+    n_dev = mesh.devices.size
+    fold = sharded.make_sharded_fold(mesh)
+    key = jax.random.PRNGKey(rng_seed)
+    stats = None
+    start = 0
+
+    it = data_loader.Loader(dataset, batch_size=batch_size,
+                            num_workers=num_workers)
+    if display_progress:
+        it = _progress(it, "tally activations (sharded)", len(it))
+    for i, batch in enumerate(it):
+        batch = batch if isinstance(batch, tuple) else (batch,)
+        valid = len(batch[0])
+        padded = []
+        for column in batch:
+            column = np.asarray(column)
+            column, _ = sharded.pad_rows(column, n_dev)
+            padded.append(mesh_lib.shard_batch(column, mesh))
+        pooled, flat = compute_topk_and_quantile(*padded)
+        if stats is None:
+            stats = sharded.init_sharded(mesh, int(pooled.shape[1]), k, r=r)
+        stats = fold(*stats, pooled, flat, jnp.int32(start),
+                     jnp.int32(valid), jax.random.fold_in(key, i))
+        start += valid
+    if stats is None:
+        raise ValueError("dataset is empty")
+    return sharded.merge_sharded(stats)
 
 
 def _gather_kernel(acts: Array, images: Array, b_idx: Array, u_idx: Array,

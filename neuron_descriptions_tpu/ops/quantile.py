@@ -30,7 +30,7 @@ Why this shape is right for TPU:
 Exact running min/max per unit are tracked separately so ``quantiles(0.)``
 and ``quantiles(1.)`` are exact, mirroring the reference's extremes tracking.
 """
-from typing import NamedTuple
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -97,7 +97,8 @@ def _bottom_k(samples: Array, tags: Array, r: int):
     return samples[:, keep], tags[keep]
 
 
-def update(state: QuantileState, x: Array, key: Array) -> QuantileState:
+def update(state: QuantileState, x: Array, key: Array,
+           valid: Optional[Array] = None) -> QuantileState:
     """Fold a batch of activations into the sketch.
 
     Args:
@@ -107,6 +108,9 @@ def update(state: QuantileState, x: Array, key: Array) -> QuantileState:
             feeding its sketch, reference: src/exemplars/compute.py:332).
         key: PRNG key for this batch (fold in the batch index upstream so
             scans stay deterministic).
+        valid: Optional () int32 count of valid rows; rows >= ``valid`` are
+            padding (from rounding batches up to a mesh-shard multiple) and
+            are excluded from the sketch and extremes.
 
     Returns:
         Updated sketch with identical shapes (valid scan carry).
@@ -116,6 +120,21 @@ def update(state: QuantileState, x: Array, key: Array) -> QuantileState:
 
     new_tags = (jax.random.bits(key, (n,), jnp.uint32)
                 & _TAG_MASK).astype(jnp.int32)
+    if valid is None:
+        x_min = x.min(axis=0)
+        x_max = x.max(axis=0)
+        seen = jnp.int32(n)
+    else:
+        row_ok = jnp.arange(n, dtype=jnp.int32) < valid
+        # Padded rows get the sentinel tag so real samples always displace
+        # them, and +inf values so that — while the sketch is underfull and
+        # they do occupy slots — they respect the invalid-slot invariant
+        # that ``quantiles`` relies on (+inf sorts last).
+        new_tags = jnp.where(row_ok, new_tags, _EMPTY_TAG)
+        x_max = jnp.where(row_ok[:, None], x, -jnp.inf).max(axis=0)
+        x = jnp.where(row_ok[:, None], x, jnp.inf)
+        x_min = x.min(axis=0)
+        seen = jnp.int32(valid)
     all_tags = jnp.concatenate([state.tags, new_tags])
     all_samples = jnp.concatenate([state.samples, x.T], axis=1)
     samples, tags = _bottom_k(all_samples, all_tags, r)
@@ -123,9 +142,9 @@ def update(state: QuantileState, x: Array, key: Array) -> QuantileState:
     return QuantileState(
         samples=samples,
         tags=tags,
-        count=state.count + jnp.int32(n),
-        minima=jnp.minimum(state.minima, x.min(axis=0)),
-        maxima=jnp.maximum(state.maxima, x.max(axis=0)),
+        count=state.count + seen,
+        minima=jnp.minimum(state.minima, x_min),
+        maxima=jnp.maximum(state.maxima, x_max),
     )
 
 

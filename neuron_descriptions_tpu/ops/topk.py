@@ -14,7 +14,7 @@ The state is a pytree and ``merge`` is associative + commutative up to ties,
 so per-device partial states can be tree-reduced across a mesh (e.g. after a
 sharded scan over the dataset's batch axis).
 """
-from typing import NamedTuple, Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -61,7 +61,8 @@ def init(units: int, k: int, largest: bool = True,
 
 
 def update(state: TopKState, pooled: Array, start_index: Array,
-           largest: bool = True) -> TopKState:
+           largest: bool = True,
+           valid: Optional[Array] = None) -> TopKState:
     """Fold one batch of pooled activations into the state.
 
     Args:
@@ -72,6 +73,9 @@ def update(state: TopKState, pooled: Array, start_index: Array,
         start_index: () int32 dataset index of the first sample in the batch;
             sample ``i`` of the batch has dataset index ``start_index + i``.
         largest: Track maxima (True) or minima (False). Must match `init`.
+        valid: Optional () int32 count of valid rows; rows >= ``valid`` are
+            padding (from rounding batches up to a mesh-shard multiple) and
+            are excluded from the selection.
 
     Returns:
         The updated state. Shapes are identical to the input state, so this
@@ -81,6 +85,11 @@ def update(state: TopKState, pooled: Array, start_index: Array,
     k = state.values.shape[1]
 
     batch_idx = start_index + jnp.arange(batch, dtype=jnp.int32)
+    if valid is not None:
+        row_ok = jnp.arange(batch, dtype=jnp.int32) < valid
+        fill = -jnp.inf if largest else jnp.inf
+        pooled = jnp.where(row_ok[:, None], pooled, fill)
+        batch_idx = jnp.where(row_ok, batch_idx, -1)
     cand_values = jnp.concatenate([state.values, pooled.T], axis=1)
     cand_indices = jnp.concatenate(
         [state.indices,
@@ -90,9 +99,10 @@ def update(state: TopKState, pooled: Array, start_index: Array,
     top_values, top_pos = jax.lax.top_k(sign * cand_values, k)
     new_values = sign * top_values
     new_indices = jnp.take_along_axis(cand_indices, top_pos, axis=1)
+    seen = jnp.int32(batch) if valid is None else jnp.int32(valid)
     return TopKState(values=new_values.astype(state.values.dtype),
                      indices=new_indices,
-                     count=state.count + jnp.int32(batch))
+                     count=state.count + seen)
 
 
 def merge(a: TopKState, b: TopKState, largest: bool = True) -> TopKState:
