@@ -84,19 +84,23 @@ class ModelConfig:
         for key, default in self.defaults.items():
             kwargs.setdefault(key, default)
 
-        if not self.load_weights:
-            return self.factory(**kwargs)
+        if path is None and self.requires_path:
+            raise ValueError("model requires a weights path, none given")
 
-        if path is None:
-            if self.requires_path:
-                raise ValueError("model requires a weights path, none given")
-            return self.factory(**kwargs)
+        if path is not None and (self.load_weights or self.requires_path):
+            path = pathlib.Path(path)
+            if not path.exists():
+                if self.url is None:
+                    raise FileNotFoundError(f"model path not found: {path}")
+                download_file(self.url, path)
 
-        path = pathlib.Path(path)
-        if not path.exists():
-            if self.url is None:
-                raise FileNotFoundError(f"model path not found: {path}")
-            download_file(self.url, path)
+        # Path-consuming factories (e.g. Decoder.load on a payload file) get
+        # the resolved path directly (reference: hubs.py:116-120).
+        if self.requires_path:
+            return self.factory(path, **kwargs)
+
+        if not self.load_weights or path is None:
+            return self.factory(**kwargs)
 
         from neuron_descriptions_tpu.models import torch_import
         weights = torch_import.load_state_dict(
@@ -115,9 +119,10 @@ class ModelHub:
         if name not in self.configs:
             raise KeyError(f"no such model in hub: {name}")
         config = self.configs[name]
-        if path is None and config.load_weights:
+        if path is None and (config.load_weights or config.requires_path):
             candidate = env.models_dir() / f"{name}.pth"
-            if candidate.exists() or config.url is not None:
+            if candidate.exists() or config.url is not None \
+                    or config.requires_path:
                 path = candidate
         return config.load(path=path, **kwargs)
 
