@@ -79,26 +79,50 @@ class Loader:
         out: "queue.Queue" = queue.Queue(maxsize=max(1, self.prefetch))
         sentinel = object()
         error: list = []
+        stop = threading.Event()
 
         def producer() -> None:
             try:
                 with concurrent.futures.ThreadPoolExecutor(
                         self.num_workers) as pool:
                     for chunk in chunks:
-                        out.put(self._load_batch(pool, chunk))
+                        batch = self._load_batch(pool, chunk)
+                        # Bounded put that also watches the stop flag, so an
+                        # abandoned consumer can never strand this thread on
+                        # a full queue.
+                        while not stop.is_set():
+                            try:
+                                out.put(batch, timeout=0.1)
+                                break
+                            except queue.Full:
+                                continue
+                        if stop.is_set():
+                            return
             except BaseException as exc:  # propagate to consumer
                 error.append(exc)
             finally:
-                out.put(sentinel)
+                try:
+                    out.put_nowait(sentinel)
+                except queue.Full:
+                    pass
 
         thread = threading.Thread(target=producer, daemon=True)
         thread.start()
-        while True:
-            item = out.get()
-            if item is sentinel:
-                break
-            yield item
-        thread.join()
+        try:
+            while True:
+                item = out.get()
+                if item is sentinel:
+                    break
+                yield item
+        finally:
+            # Runs on exhaustion AND on early abandonment (GeneratorExit).
+            stop.set()
+            while True:
+                try:
+                    out.get_nowait()
+                except queue.Empty:
+                    break
+            thread.join()
         if error:
             raise error[0]
 

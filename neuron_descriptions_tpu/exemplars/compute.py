@@ -98,6 +98,26 @@ def _load_tally_cache(path: Optional[pathlib.Path],
     return tk, qs
 
 
+def _save_masks_cache(path: pathlib.Path, arrays: Dict[str, np.ndarray],
+                      args: Dict) -> None:
+    payload = dict(arrays)
+    payload["__args__"] = np.array(sorted(args.items()), dtype=object)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    np.savez(path, **payload)
+
+
+def _load_masks_cache(path: Optional[pathlib.Path],
+                      args: Dict) -> Optional[Dict[str, np.ndarray]]:
+    if path is None or not pathlib.Path(path).exists():
+        return None
+    data = np.load(path, allow_pickle=True)
+    cached_args = dict(map(tuple, data["__args__"]))
+    if {k: str(v) for k, v in cached_args.items()} != {
+            k: str(v) for k, v in args.items()}:
+        return None
+    return {name: data[name] for name in data.files if name != "__args__"}
+
+
 def compute(compute_topk_and_quantile: ComputeTopkAndQuantileFn,
             compute_activations: ComputeActivationsFn,
             dataset: Any,
@@ -242,62 +262,86 @@ def compute(compute_topk_and_quantile: ComputeTopkAndQuantileFn,
         n_units = ids.shape[0]
         size = int(output_size)
 
-        # Static gather plan: image id -> [(unit, rank), ...].
-        needed: Dict[int, list] = collections.defaultdict(list)
-        for unit in range(n_units):
-            for rank in range(k):
-                img = int(ids[unit, rank])
-                if img >= 0:
-                    needed[img].append((unit, rank))
-        needed_ids = sorted(needed)
+        # Pass-2 cache: skip the gather when a cache file matches
+        # (reference: compute.py:90-94 caches the gathered topk tensor).
+        masks_cache_args = dict(k=k, quantile=quantile, output_size=size,
+                                count=len(dataset), seed=rng_seed)
+        cached_masks = _load_masks_cache(
+            pathlib.Path(masks_cache_file) if masks_cache_file else None,
+            masks_cache_args)
 
-        images_out = np.zeros((n_units, k, 3, size, size), dtype=np.uint8)
-        masks_out = np.zeros((n_units, k, 1, size, size), dtype=np.uint8)
-        masked_out = np.zeros((n_units, k, 3, size, size), dtype=np.uint8)
+        if cached_masks is not None:
+            images_out = cached_masks["images"]
+            masks_out = cached_masks["masks"]
+            masked_out = cached_masks["masked"]
+        else:
+            # Static gather plan: image id -> [(unit, rank), ...].
+            needed: Dict[int, list] = collections.defaultdict(list)
+            for unit in range(n_units):
+                for rank in range(k):
+                    img = int(ids[unit, rank])
+                    if img >= 0:
+                        needed[img].append((unit, rank))
+            needed_ids = sorted(needed)
 
-        gather_batch = min(batch_size, max(1, len(needed_ids)))
-        chunks = [
-            needed_ids[i:i + gather_batch]
-            for i in range(0, len(needed_ids), gather_batch)
-        ]
-        max_hits = max(
-            (sum(len(needed[i]) for i in chunk) for chunk in chunks),
-            default=0)
+            images_out = np.zeros((n_units, k, 3, size, size),
+                                  dtype=np.uint8)
+            masks_out = np.zeros((n_units, k, 1, size, size), dtype=np.uint8)
+            masked_out = np.zeros((n_units, k, 3, size, size),
+                                  dtype=np.uint8)
 
-        kernel = jax.jit(partial(_gather_kernel, output_size=size))
-        levels_j = jnp.asarray(levels)
+            gather_batch = min(batch_size, max(1, len(needed_ids)))
+            chunks = [
+                needed_ids[i:i + gather_batch]
+                for i in range(0, len(needed_ids), gather_batch)
+            ]
+            max_hits = max(
+                (sum(len(needed[i]) for i in chunk) for chunk in chunks),
+                default=0)
 
-        it2 = data_loader.Loader(dataset, batch_size=gather_batch,
-                                 num_workers=num_workers,
-                                 indices=needed_ids)
-        if display_progress:
-            it2 = _progress(it2, "compute top images", len(chunks))
-        for chunk, batch in zip(chunks, it2):
-            batch = batch if isinstance(batch, tuple) else (batch,)
-            outputs = compute_activations(*batch)
-            if isinstance(outputs, tuple):
-                acts, images = outputs
-            else:
-                acts, images = outputs, jnp.asarray(batch[0])
+            kernel = jax.jit(partial(_gather_kernel, output_size=size))
+            levels_j = jnp.asarray(levels)
 
-            triples = [(b, unit, rank) for b, img in enumerate(chunk)
-                       for unit, rank in needed[img]]
-            pad = max_hits - len(triples)
-            b_idx = np.array([t[0] for t in triples] + [0] * pad, np.int32)
-            u_idx = np.array([t[1] for t in triples] + [0] * pad, np.int32)
+            it2 = data_loader.Loader(dataset, batch_size=gather_batch,
+                                     num_workers=num_workers,
+                                     indices=needed_ids)
+            if display_progress:
+                it2 = _progress(it2, "compute top images", len(chunks))
+            for chunk, batch in zip(chunks, it2):
+                batch = batch if isinstance(batch, tuple) else (batch,)
+                outputs = compute_activations(*batch)
+                if isinstance(outputs, tuple):
+                    acts, images = outputs
+                else:
+                    acts, images = outputs, jnp.asarray(batch[0])
 
-            byte_images = _to_byte_space(images, renormalizer)
-            masked_b, images_b, mask_b = kernel(jnp.asarray(acts),
-                                                byte_images,
-                                                jnp.asarray(b_idx),
-                                                jnp.asarray(u_idx), levels_j)
-            masked_b = np.asarray(masked_b)
-            images_b = np.asarray(images_b)
-            mask_b = np.asarray(mask_b)
-            for t, (b, unit, rank) in enumerate(triples):
-                masked_out[unit, rank] = masked_b[t]
-                images_out[unit, rank] = images_b[t]
-                masks_out[unit, rank, 0] = mask_b[t]
+                triples = [(b, unit, rank) for b, img in enumerate(chunk)
+                           for unit, rank in needed[img]]
+                pad = max_hits - len(triples)
+                b_idx = np.array([t[0] for t in triples] + [0] * pad,
+                                 np.int32)
+                u_idx = np.array([t[1] for t in triples] + [0] * pad,
+                                 np.int32)
+
+                byte_images = _to_byte_space(images, renormalizer)
+                masked_b, images_b, mask_b = kernel(jnp.asarray(acts),
+                                                    byte_images,
+                                                    jnp.asarray(b_idx),
+                                                    jnp.asarray(u_idx),
+                                                    levels_j)
+                masked_b = np.asarray(masked_b)
+                images_b = np.asarray(images_b)
+                mask_b = np.asarray(mask_b)
+                for t, (b, unit, rank) in enumerate(triples):
+                    masked_out[unit, rank] = masked_b[t]
+                    images_out[unit, rank] = images_b[t]
+                    masks_out[unit, rank, 0] = mask_b[t]
+
+            if masks_cache_file is not None:
+                _save_masks_cache(
+                    pathlib.Path(masks_cache_file),
+                    {"images": images_out, "masks": masks_out,
+                     "masked": masked_out}, masks_cache_args)
 
         if save_results:
             np.save(results_dir / "images.npy", images_out)

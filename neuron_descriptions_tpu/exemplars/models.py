@@ -27,7 +27,7 @@ __all__ = [
     "KEYS", "LAYERS", "SubjectModel", "ModelConfig",
     "ModelExemplarsConfig", "DiscriminativeModelExemplarsConfig",
     "GenerativeModelExemplarsConfig", "default_model_configs",
-    "default_model_hub", "load", "rekey_vgg16",
+    "default_model_hub", "load", "rekey_vgg16", "rekey_old_resnet152",
 ]
 
 HOST = "https://dissect.csail.mit.edu/models"
@@ -72,22 +72,76 @@ class SubjectModel:
 def _merge_weights(params: Dict[str, Array],
                    weights: Optional[Mapping[str, np.ndarray]],
                    strict: bool = True) -> Dict[str, Array]:
-    """Overlay an imported torch state dict onto our init params."""
+    """Overlay an imported torch state dict onto our init params.
+
+    Fails loudly rather than silently dissecting random weights (round-4
+    finding): unexpected checkpoint keys raise (matching torch
+    ``load_state_dict(strict=True)``, the reference's default at
+    src/utils/hubs.py:128), shape mismatches raise, and a checkpoint that
+    matches zero parameters raises even when ``strict=False``.
+    """
     if weights is None:
         return params
     merged = dict(params)
+    matched = 0
+    unexpected = []
     for name, value in weights.items():
         if name.endswith("num_batches_tracked"):
             continue
         if name not in merged:
-            if strict:
-                raise KeyError(f"unexpected weight: {name}")
+            unexpected.append(name)
             continue
         if tuple(merged[name].shape) != tuple(value.shape):
             raise ValueError(f"shape mismatch for {name}: "
                              f"{merged[name].shape} vs {value.shape}")
         merged[name] = jnp.asarray(value)
+        matched += 1
+    if unexpected and strict:
+        raise KeyError(
+            f"checkpoint has {len(unexpected)} unexpected weight(s), e.g. "
+            f"{unexpected[:5]}; matched {matched}/{len(params)} params")
+    if matched == 0:
+        raise ValueError(
+            "checkpoint matched no parameters "
+            f"(checkpoint keys e.g. {list(weights)[:5]}, "
+            f"model keys e.g. {list(params)[:5]})")
     return merged
+
+
+def rekey_old_resnet152(state_dict: Mapping[str, Any]) -> Dict[str, Any]:
+    """Convert Torch7-export ``OldResNet152`` keys to torchvision-style.
+
+    The places365 resnet152 checkpoint addresses a flat Sequential
+    (reference: src/deps/resnet152.py:46 — ``0.weight`` stem conv, ``1.*``
+    stem BN, stages ``4..7`` of blocks ``s.b.0.{branch}.{idx}``, head
+    ``10.1.*``). Computationally the network is identical to torchvision
+    resnet152 (stride on the 3x3 conv and on the projection, stages
+    3/8/36/3), so the port is purely a key translation onto the zoo arch.
+    """
+    # Main-branch Sequential index -> torchvision bottleneck child.
+    branch_map = {"0": "conv1", "1": "bn1", "3": "conv2", "4": "bn2",
+                  "6": "conv3", "7": "bn3"}
+    out: Dict[str, Any] = {}
+    for name, value in state_dict.items():
+        parts = name.split(".")
+        if parts[0] == "0":
+            out[f"conv1.{parts[-1]}"] = value
+        elif parts[0] == "1":
+            out[f"bn1.{parts[-1]}"] = value
+        elif parts[0] == "10":
+            out[f"fc.{parts[-1]}"] = value
+        elif parts[0] in ("4", "5", "6", "7"):
+            stage = int(parts[0]) - 3
+            block, branch, index, leaf = parts[1], parts[3], parts[4:-1], \
+                parts[-1]
+            if branch == "1":  # projection shortcut
+                child = {"0": "downsample.0", "1": "downsample.1"}[index[0]]
+            else:
+                child = branch_map[index[0]]
+            out[f"layer{stage}.{block}.{child}.{leaf}"] = value
+        else:
+            raise KeyError(f"unrecognized OldResNet152 key: {name}")
+    return out
 
 
 def rekey_vgg16(state_dict: Mapping[str, Any]) -> Dict[str, Any]:
@@ -179,10 +233,10 @@ def _resnet_factory(depth: int, num_classes: int = 1000, seed: int = 0,
                     weights: Optional[Mapping] = None) -> SubjectModel:
     params = model_zoo.resnet.init(jax.random.PRNGKey(seed), depth,
                                    num_classes)
-    params = _merge_weights(params, weights, strict=False)
+    params = _merge_weights(params, weights)
 
-    def apply(p, x):
-        return model_zoo.resnet.apply(p, x, depth=depth)
+    def apply(p, x, **kwargs):
+        return model_zoo.resnet.apply(p, x, depth=depth, **kwargs)
 
     return SubjectModel(apply=apply, params=params,
                         layers=model_zoo.resnet.LAYERS)
@@ -191,7 +245,7 @@ def _resnet_factory(depth: int, num_classes: int = 1000, seed: int = 0,
 def _alexnet_factory(num_classes: int = 1000, seed: int = 0,
                      weights: Optional[Mapping] = None) -> SubjectModel:
     params = model_zoo.alexnet.init(jax.random.PRNGKey(seed), num_classes)
-    params = _merge_weights(params, weights, strict=False)
+    params = _merge_weights(params, weights)
     return SubjectModel(apply=model_zoo.alexnet.apply, params=params,
                         layers=model_zoo.alexnet.LAYERS)
 
@@ -201,7 +255,7 @@ def _alexnet_places365_factory(num_classes: int = 365, seed: int = 0,
                                ) -> SubjectModel:
     params = model_zoo.alexnet.init_places365(jax.random.PRNGKey(seed),
                                               num_classes)
-    params = _merge_weights(params, weights, strict=False)
+    params = _merge_weights(params, weights)
     return SubjectModel(apply=model_zoo.alexnet.apply_places365,
                         params=params, layers=model_zoo.alexnet.LAYERS)
 
@@ -209,13 +263,39 @@ def _alexnet_places365_factory(num_classes: int = 365, seed: int = 0,
 def _vgg_factory(depth: int, num_classes: int = 1000, seed: int = 0,
                  weights: Optional[Mapping] = None) -> SubjectModel:
     params = model_zoo.vgg.init(jax.random.PRNGKey(seed), depth, num_classes)
-    params = _merge_weights(params, weights, strict=False)
+    params = _merge_weights(params, weights)
 
-    def apply(p, x):
-        return model_zoo.vgg.apply(p, x, depth=depth)
+    def apply(p, x, **kwargs):
+        return model_zoo.vgg.apply(p, x, depth=depth, **kwargs)
 
     return SubjectModel(apply=apply, params=params,
                         layers=model_zoo.vgg.LAYERS[depth])
+
+
+def _old_resnet152_factory(num_classes: int = 365, seed: int = 0,
+                           weights: Optional[Mapping] = None) -> SubjectModel:
+    """places365 ResNet-152 with the reference's integer layer addressing
+    (reference: src/exemplars/models.py:321-326 hooks layers 0,4,5,6,7 of
+    the flat Torch7-export Sequential)."""
+    params = model_zoo.resnet.init(jax.random.PRNGKey(seed), 152,
+                                   num_classes)
+    params = _merge_weights(params, weights)
+
+    aliases = {"0": "conv1", "4": "layer1", "5": "layer2", "6": "layer3",
+               "7": "layer4"}
+
+    def apply(p, x, edits=None):
+        edits = dict(edits or {})
+        for alias, layer in aliases.items():
+            if alias in edits:
+                edits[layer] = edits.pop(alias)
+        out, taps = model_zoo.resnet.apply(p, x, depth=152, edits=edits)
+        for alias, layer in aliases.items():
+            taps[alias] = taps[layer]
+        return out, taps
+
+    return SubjectModel(apply=apply, params=params,
+                        layers=tuple(aliases))
 
 
 def _vit_factory(seed: int = 0,
@@ -224,6 +304,18 @@ def _vit_factory(seed: int = 0,
     params = _merge_weights(params, weights, strict=False)
     return SubjectModel(apply=model_zoo.vit.apply, params=params,
                         layers=model_zoo.vit.LAYERS)
+
+
+def _biggan_factory(n_classes: int = 1000, seed: int = 0,
+                    weights: Optional[Mapping] = None) -> SubjectModel:
+    """BigGAN-256 generator with hookable stage taps (the SeqBigGAN layering,
+    reference: src/deps/ext/pretorched/gans/biggan.py:134-154)."""
+    params = model_zoo.biggan.init(jax.random.PRNGKey(seed), n_classes)
+    # tfhub-converted checkpoints carry extra optimizer/meta entries;
+    # non-strict, but _merge_weights still raises on zero matches.
+    params = _merge_weights(params, weights, strict=False)
+    return SubjectModel(apply=model_zoo.biggan.apply, params=params,
+                        layers=model_zoo.biggan.LAYERS)
 
 
 def _not_yet_implemented(arch: str) -> Callable[..., SubjectModel]:
@@ -296,9 +388,10 @@ def default_model_configs(**others: ModelConfig) -> Mapping[str, ModelConfig]:
         transform_weights=lambda weights: weights["state_dict"],
         layers=LAYERS.RESNET18)
     configs[KEYS.RESNET152_PLACES365] = ModelConfig(
-        _partial(_resnet_factory, depth=152, num_classes=365),
+        _old_resnet152_factory,
         url=f"{HOST}/resnet152_places365-f928166e5c.pth",
-        layers=LAYERS.RESNET152)
+        transform_weights=rekey_old_resnet152,
+        layers=("0", "4", "5", "6", "7"))
 
     # --- DINO ViT-S/8 ---
     configs[KEYS.DINO_VITS8_IMAGENET] = ModelConfig(
@@ -310,15 +403,25 @@ def default_model_configs(**others: ModelConfig) -> Mapping[str, ModelConfig]:
             transform_hiddens=transforms.spatialize_vit_mlp,
             batch_size=32))
 
-    # --- BigGAN (generative) ---
+    # --- BigGAN (generative; reference: models.py:189-218) ---
+    from neuron_descriptions_tpu.data import renormalize as renorm
+    biggan_urls = {
+        KEYS.BIGGAN_IMAGENET: ("http://ganocracy.csail.mit.edu/models/"
+                               "tfbiggan_256-a4cf3382.pth", 1000),
+        KEYS.BIGGAN_PLACES365: ("http://pretorched-x.csail.mit.edu/gans/"
+                                "BigGAN/biggan256_G_ema_ch96_places365"
+                                "-ac277771.pth", 365),
+    }
     for dataset_key, zs_key in (
             (KEYS.BIGGAN_IMAGENET, datasets.KEYS.BIGGAN_ZS_IMAGENET),
             (KEYS.BIGGAN_PLACES365, datasets.KEYS.BIGGAN_ZS_PLACES365)):
+        url, n_classes = biggan_urls[dataset_key]
         configs[dataset_key] = ModelConfig(
-            _not_yet_implemented("biggan"),
-            load_weights=False,
+            _partial(_biggan_factory, n_classes=n_classes),
+            url=url,
             layers=LAYERS.BIGGAN,
             exemplars=GenerativeModelExemplarsConfig(
+                renormalizer=renorm.renormalizer(target="byte"),
                 image_size=256,
                 batch_size=32,
                 dataset=zs_key))

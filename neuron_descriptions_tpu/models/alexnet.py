@@ -14,7 +14,7 @@ Two architectures, matching the reference:
 Taps are the raw conv outputs (pre-ReLU), exactly what a torch forward hook
 on the conv module sees.
 """
-from typing import Dict, Tuple
+from typing import Callable, Dict, Mapping, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -53,18 +53,25 @@ _CAFFE_CONVS = (
 )
 
 
-def apply(params: Params, x: Array) -> Tuple[Array, Dict[str, Array]]:
+def apply(params: Params, x: Array,
+          edits: Optional[Mapping[str, Callable[[Array], Array]]] = None
+          ) -> Tuple[Array, Dict[str, Array]]:
     """Torchvision AlexNet forward returning (logits, taps).
 
     Taps are keyed both by seq names (conv1..conv5) and torchvision module
     paths (features.N) so either naming convention works downstream.
+    ``edits`` rewrites a tap mid-forward (functional nethook.edit_layer).
     """
     acts: Dict[str, Array] = {}
+    edits = edits or {}
     h = x
     for i, (name, *_spec) in enumerate(_TV_CONVS):
         _, _, _, stride, padding = _spec
         h = nn.conv2d(h, params[f"{name}.weight"], params[f"{name}.bias"],
                       stride=stride, padding=padding)
+        for alias in (f"conv{i + 1}", name):
+            if alias in edits:
+                h = edits[alias](h)
         acts[f"conv{i + 1}"] = h
         acts[name] = h
         h = nn.relu(h)

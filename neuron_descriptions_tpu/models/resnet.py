@@ -13,7 +13,7 @@ returns the tapped intermediates:
 Parameters are a flat dict keyed exactly like ``state_dict()`` of the torch
 model, so pretrained-weight import is a mechanical copy.
 """
-from typing import Dict, Mapping, Sequence, Tuple
+from typing import Callable, Dict, Mapping, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -81,7 +81,8 @@ def _bottleneck_block(params: Params, prefix: str, x: Array,
     return nn.relu(out + identity)
 
 
-def apply(params: Params, x: Array, depth: int = 18
+def apply(params: Params, x: Array, depth: int = 18,
+          edits: Optional[Mapping[str, Callable[[Array], Array]]] = None
           ) -> Tuple[Array, Dict[str, Array]]:
     """Run the ResNet, returning (logits, {layer: activations}).
 
@@ -89,13 +90,24 @@ def apply(params: Params, x: Array, depth: int = 18
         params: torch-keyed parameter dict.
         x: (N, 3, H, W) images (already normalized).
         depth: one of 18/34/50/101/152.
+        edits: Optional per-layer activation rewrite applied mid-forward —
+            the functional equivalent of ``nethook.edit_layer`` (reference:
+            src/deps/netdissect/nethook.py:117-136); downstream compute and
+            the recorded tap both see the edited value.
     """
     block_kind, stages = CONFIGS[depth]
     block = _basic_block if block_kind == "basic" else _bottleneck_block
+    edits = edits or {}
+
+    def tap(name: str, value: Array) -> Array:
+        if name in edits:
+            value = edits[name](value)
+        acts[name] = value
+        return value
 
     acts: Dict[str, Array] = {}
     h = nn.conv2d(x, params["conv1.weight"], stride=2, padding=3)
-    acts["conv1"] = h
+    h = tap("conv1", h)
     h = nn.batch_norm(h, *_bn_params(params, "bn1"))
     h = nn.relu(h)
     h = nn.max_pool2d(h, 3, 2, padding=1)
@@ -104,7 +116,7 @@ def apply(params: Params, x: Array, depth: int = 18
         for b in range(blocks):
             stride = 2 if (stage > 0 and b == 0) else 1
             h = block(params, f"layer{stage + 1}.{b}", h, stride)
-        acts[f"layer{stage + 1}"] = h
+        h = tap(f"layer{stage + 1}", h)
 
     pooled = h.mean(axis=(2, 3))
     logits = nn.linear(pooled, params["fc.weight"], params["fc.bias"])

@@ -7,7 +7,7 @@ vgg16 with rekeyed Caffe weights (reference: src/exemplars/models.py:56-59,
 the conv module. The reference's per-arch tap lists live in the exemplars
 registry (``LAYERS`` here mirrors src/exemplars/models.py:56-59).
 """
-from typing import Dict, Tuple
+from typing import Callable, Dict, Mapping, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -51,10 +51,16 @@ def _conv_indices(depth: int):
             idx += 2  # conv + relu
 
 
-def apply(params: Params, x: Array, depth: int = 16
+def apply(params: Params, x: Array, depth: int = 16,
+          edits: Optional[Mapping[str, Callable[[Array], Array]]] = None
           ) -> Tuple[Array, Dict[str, Array]]:
-    """Run the VGG, returning (logits, {features.N: conv activations})."""
+    """Run the VGG, returning (logits, {features.N: conv activations}).
+
+    ``edits`` rewrites a tap mid-forward (the functional nethook.edit_layer,
+    reference: src/deps/netdissect/nethook.py:117-136).
+    """
     acts: Dict[str, Array] = {}
+    edits = edits or {}
     h = x
     idx = 0
     for entry in CONFIGS[depth]:
@@ -65,6 +71,8 @@ def apply(params: Params, x: Array, depth: int = 16
             name = f"features.{idx}"
             h = nn.conv2d(h, params[f"{name}.weight"], params[f"{name}.bias"],
                           padding=1)
+            if name in edits:
+                h = edits[name](h)
             acts[name] = h
             h = nn.relu(h)
             idx += 2

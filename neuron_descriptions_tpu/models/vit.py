@@ -33,19 +33,49 @@ def _layer_norm(x: Array, weight: Array, bias: Array,
     return (x - mean) * jax.lax.rsqrt(var + eps) * weight + bias
 
 
+def _cubic_kernel(t: Array, a: float = -0.75) -> Array:
+    """Keys cubic convolution weight, torch's a=-0.75 variant."""
+    at = jnp.abs(t)
+    w1 = ((a + 2.0) * at - (a + 3.0)) * at * at + 1.0
+    w2 = ((a * at - 5.0 * a) * at + 8.0 * a) * at - 4.0 * a
+    return jnp.where(at <= 1.0, w1, jnp.where(at < 2.0, w2, 0.0))
+
+
+def _resize_bicubic(x: Array, out_h: int, out_w: int) -> Array:
+    """Separable bicubic resize matching torch ``F.interpolate(mode=
+    'bicubic', align_corners=False)`` (half-pixel centers, a=-0.75,
+    edge-clamped taps). Operates on (..., H, W)."""
+    def resize_axis(data: Array, in_size: int, out_size: int) -> Array:
+        # Resizes the LAST axis.
+        src = (jnp.arange(out_size) + 0.5) * (in_size / out_size) - 0.5
+        base = jnp.floor(src).astype(jnp.int32)
+        taps = jnp.stack([base - 1, base, base + 1, base + 2])  # (4, out)
+        weights = _cubic_kernel(src[None] - taps.astype(src.dtype))  # (4,out)
+        taps = jnp.clip(taps, 0, in_size - 1)
+        return jnp.einsum("...to,to->...o", data[..., taps], weights)
+
+    x = jnp.swapaxes(resize_axis(jnp.swapaxes(x, -1, -2), x.shape[-2],
+                                 out_h), -1, -2)
+    return resize_axis(x, x.shape[-1], out_w)
+
+
 def _interpolate_pos_embed(pos: Array, n_patches: int) -> Array:
-    """Bicubic-free pos-embed resize (bilinear): DINO interpolates when the
-    grid differs from training size. Grids match for 224/8 inputs, so this
-    path is rarely taken; bilinear is a documented approximation."""
+    """Bicubic pos-embed resize: DINO interpolates when the patch grid
+    differs from training size (torch bicubic semantics; grids match for
+    224/8 inputs so this path is only taken at non-224 eval sizes)."""
     n_trained = pos.shape[1] - 1
     if n_trained == n_patches:
         return pos
     cls_pos, grid_pos = pos[:, :1], pos[:, 1:]
     old = int(math.isqrt(n_trained))
     new = int(math.isqrt(n_patches))
-    grid = grid_pos.reshape(1, old, old, -1)
-    grid = jax.image.resize(grid, (1, new, new, grid.shape[-1]), "bilinear")
-    return jnp.concatenate([cls_pos, grid.reshape(1, new * new, -1)], axis=1)
+    dim = grid_pos.shape[-1]
+    grid = grid_pos.reshape(1, old, old, dim)
+    grid = jnp.moveaxis(grid, -1, 1)  # (1, dim, old, old)
+    grid = _resize_bicubic(grid, new, new)
+    grid = jnp.moveaxis(grid, 1, -1)
+    return jnp.concatenate([cls_pos, grid.reshape(1, new * new, dim)],
+                           axis=1)
 
 
 def apply(params: Params, x: Array, config: dict = VITS8

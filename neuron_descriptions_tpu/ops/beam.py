@@ -118,11 +118,3 @@ def search(start_tokens: Array,
         [first[None], rev_tokens], axis=0)  # (max_steps, batch, beam)
     tokens = jnp.moveaxis(tokens, 0, -1)  # (batch, beam, max_steps)
     return tokens.astype(jnp.int32), final_lp
-
-
-def search_single_step(start_tokens: Array, init_state: Any, step_fn: StepFn,
-                       *, beam_size: int) -> Tuple[Array, Array]:
-    """Degenerate one-step search (used when max_steps == 1)."""
-    log_probs0, _ = step_fn(start_tokens, init_state)
-    top_lp, top_tok = jax.lax.top_k(log_probs0, beam_size)
-    return top_tok[..., None].astype(jnp.int32), top_lp

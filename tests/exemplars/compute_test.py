@@ -197,3 +197,66 @@ def test_generative_pipeline(tmp_path):
     rdir = tmp_path / "results" / "layer0"
     assert np.load(rdir / "images.npy").shape == (UNITS, 3, 3, 16, 16)
     assert np.load(rdir / "masks.npy").shape == (UNITS, 3, 1, 16, 16)
+
+
+def test_masks_cache_roundtrip(tmp_path, subject):
+    """Round-4 finding: masks_cache_file must actually cache the pass-2
+    gather (reference caches it at src/exemplars/compute.py:90-94)."""
+    dataset = FakeImageDataset()
+    cache = tmp_path / "masks.npz"
+    kwargs = dict(layer="conv", k=K, output_size=SIZE, batch_size=4,
+                  num_workers=0, display_progress=False, save_viz=False,
+                  masks_cache_file=cache)
+    compute.discriminative(tiny_conv_apply, subject, dataset,
+                           results_dir=tmp_path / "r1", **kwargs)
+    assert cache.exists()
+
+    # Second run must produce identical artifacts from the cache even with
+    # a poisoned activations fn (proving the gather pass was skipped).
+    def poisoned(params, images):
+        out, taps = tiny_conv_apply(params, images)
+        return out, {"conv": taps["conv"] * 0.0}
+
+    compute.discriminative(poisoned, subject, dataset,
+                           results_dir=tmp_path / "r2", **kwargs)
+    a = np.load(tmp_path / "r1" / "conv" / "images.npy")
+    b = np.load(tmp_path / "r2" / "conv" / "images.npy")
+    np.testing.assert_array_equal(a, b)
+    a = np.load(tmp_path / "r1" / "conv" / "masks.npy")
+    b = np.load(tmp_path / "r2" / "conv" / "masks.npy")
+    np.testing.assert_array_equal(a, b)
+
+
+def test_biggan_generative_dissection(tmp_path):
+    """Fixture-scale generative dissection with the real BigGAN-256 stack:
+    (z, y) dataset -> generator forward with taps -> exemplar artifacts
+    (reference flow: src/exemplars/compute.py:352-437 with SeqBigGAN)."""
+    from neuron_descriptions_tpu.data import renormalize
+    from neuron_descriptions_tpu.models import biggan
+
+    params = biggan.init(jax.random.PRNGKey(0), n_classes=10)
+    rng = np.random.default_rng(0)
+    zs = rng.standard_normal((4, biggan.DIM_Z)).astype(np.float32)
+    ys = rng.integers(0, 10, size=(4,)).astype(np.int64)
+
+    class ZYDataset:
+        def __getitem__(self, index):
+            return zs[index], ys[index]
+
+        def __len__(self):
+            return len(zs)
+
+    compute.generative(
+        biggan.apply, params, ZYDataset(), layer="layer3",
+        results_dir=tmp_path / "results", viz_dir=tmp_path / "viz",
+        k=2, quantile=0.9, output_size=64, image_size=256, batch_size=2,
+        num_workers=0, r=64, display_progress=False, save_viz=False,
+        renormalizer=renormalize.renormalizer(target="byte"))
+
+    rdir = tmp_path / "results" / "layer3"
+    images = np.load(rdir / "images.npy")
+    masks = np.load(rdir / "masks.npy")
+    n_units = biggan.OUT_CH[3]
+    assert images.shape == (n_units, 2, 3, 64, 64)
+    assert masks.shape == (n_units, 2, 1, 64, 64)
+    assert images.dtype == np.uint8

@@ -197,3 +197,54 @@ def test_search_jits():
     tokens, lps = run(jnp.asarray([0, 1], dtype=jnp.int32))
     assert tokens.shape == (2, 3, 5)
     assert lps.shape == (2, 3)
+
+
+def test_tie_breaking_prefers_lower_token_then_earlier_beam():
+    """Pin tie-break order (SURVEY.md §7 hazard #1).
+
+    AllenNLP's BeamSearch takes ``torch.topk`` over the flattened
+    (beam * vocab) scores; on exact ties torch returns the earlier flat
+    index, i.e. earlier beam first, then lower token id. ``lax.top_k`` has
+    the same first-occurrence guarantee, which this test pins: a uniform
+    distribution must select token ids 0..beam-1 in order at step 0, and
+    keep beam order stable on all-tied steps.
+    """
+    vocab = 6
+
+    def step_fn(tokens, state):
+        return jnp.zeros((tokens.shape[0], vocab)), state
+
+    tokens, lps = beam.search(jnp.asarray([0], dtype=jnp.int32), (),
+                              step_fn, end_index=END, max_steps=3,
+                              beam_size=4)
+    # Step 0: top-4 of a uniform row = token ids 0,1,2,3 in that order.
+    # Later steps: ALL (beam, token) continuations tie at score 0, so the
+    # flat top-k keeps the earliest flat indices — all four survivors
+    # descend from beam 0 with tokens 0,1,2,3 — and backtracking rewrites
+    # the beam prefixes accordingly.
+    expected = [[0, 0, 0], [0, 0, 1], [0, 0, 2], [0, 0, 3]]
+    np.testing.assert_array_equal(np.asarray(tokens[0]), expected)
+    np.testing.assert_array_equal(np.asarray(lps[0]), np.zeros(4))
+
+
+def test_post_end_tokens_stay_end():
+    """After a beam emits END, it must keep emitting END with zero score
+    delta (AllenNLP log_probs_after_end semantics)."""
+    vocab = 5
+
+    def step_fn(tokens, state):
+        # Strongly prefer END at step 0, then prefer token 1.
+        lp = jnp.where(
+            (state == 0)[:, None],
+            jnp.log(jnp.asarray([0.01, 0.01, 0.01, 0.96, 0.01]))[None],
+            jnp.log(jnp.asarray([0.1, 0.6, 0.1, 0.1, 0.1]))[None])
+        return lp, state + 1
+
+    state = jnp.zeros((1,), jnp.int32)
+    tokens, lps = beam.search(jnp.asarray([0], dtype=jnp.int32), state,
+                              step_fn, end_index=END, max_steps=4,
+                              beam_size=2)
+    best = np.asarray(tokens[0, 0])
+    assert best[0] == END
+    np.testing.assert_array_equal(best, [END] * 4)
+    np.testing.assert_allclose(float(lps[0, 0]), np.log(0.96), atol=1e-6)
