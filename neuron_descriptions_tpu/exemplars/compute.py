@@ -27,6 +27,7 @@ and lightbox HTML, reference: compute.py:210-244), so downstream
 ``milannotations`` datasets are format-compatible with both pipelines.
 """
 import collections
+import contextlib
 import concurrent.futures
 import pathlib
 import shutil
@@ -141,7 +142,8 @@ def compute(compute_topk_and_quantile: ComputeTopkAndQuantileFn,
             clear_cache_files: bool = False,
             clear_results_dir: bool = False,
             clear_viz_dir: bool = False,
-            display_progress: bool = True) -> ActivationStats:
+            display_progress: bool = True,
+            profile_dir: Optional[PathLike] = None) -> ActivationStats:
     """Find and visualize the top-activating images for each unit.
 
     Argument semantics mirror the reference's ``compute``
@@ -157,7 +159,11 @@ def compute(compute_topk_and_quantile: ComputeTopkAndQuantileFn,
         r: Quantile sketch resolution (reference: tally.py:200).
         rng_seed: Seed for the sketch's sampling PRNG (the reference relies
             on torch's global RNG; ours is explicit and deterministic).
+        profile_dir: When set, capture a ``jax.profiler`` trace of both
+            passes into this directory (SURVEY.md §5 — the rebuild makes
+            tracing first-class; the reference has none).
     """
+    from neuron_descriptions_tpu.utils import profiling
     if units is not None and not len(units):
         raise ValueError("when setting `units`, must provide >= 1 unit")
     if k < 1:
@@ -213,6 +219,9 @@ def compute(compute_topk_and_quantile: ComputeTopkAndQuantileFn,
                 acts, images = outputs
                 return acts[:, units_arr], images
             return outputs[:, units_arr]
+
+    profile_scope = contextlib.ExitStack()
+    profile_scope.enter_context(profiling.trace(profile_dir))
 
     # ------------------------------------------------------------------
     # PASS 1: stream the whole dataset through topk + quantile folds.
@@ -354,6 +363,7 @@ def compute(compute_topk_and_quantile: ComputeTopkAndQuantileFn,
         if save_viz:
             _save_viz(viz_dir, masked_out, num_workers=num_workers)
 
+    profile_scope.close()
     return tk, qs
 
 

@@ -76,6 +76,37 @@ def random_split(dataset: Any,
     return train, val
 
 
+class PreloadedImageFolder:
+    """An ImageFolder with every decoded image cached in host memory
+    (reference: src/utils/training.py:117-165)."""
+
+    def __init__(self, root: Any, *args: Any,
+                 display_progress: bool = True, **kwargs: Any):
+        from neuron_descriptions_tpu.data import images
+        del display_progress
+        self.dataset = images.ImageFolder(root, *args, **kwargs)
+        self.cached_images = []
+        self.cached_labels = []
+        for index in range(len(self.dataset)):
+            image, label = self.dataset[index]
+            self.cached_images.append(image)
+            self.cached_labels.append(label)
+
+    def __getitem__(self, index: int) -> Tuple[Any, Any]:
+        return self.cached_images[index], self.cached_labels[index]
+
+    def __len__(self) -> int:
+        return len(self.dataset)
+
+    @property
+    def image_size(self) -> Any:
+        return self.dataset.image_size
+
+    @property
+    def normalize(self) -> Any:
+        return self.dataset.normalize
+
+
 def fixed_split(dataset: Any,
                 indices: Sequence[int]) -> Tuple[Subset, Subset]:
     """Split a dataset on the given indices.
