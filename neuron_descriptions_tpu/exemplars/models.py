@@ -318,14 +318,41 @@ def _biggan_factory(n_classes: int = 1000, seed: int = 0,
                         layers=model_zoo.biggan.LAYERS)
 
 
-def _not_yet_implemented(arch: str) -> Callable[..., SubjectModel]:
-    def factory(**_: Any) -> SubjectModel:
-        raise NotImplementedError(
-            f"subject-model architecture '{arch}' is not yet ported to the "
-            "TPU zoo; see neuron_descriptions_tpu/models/ for available "
-            "architectures")
+def _densenet_factory(depth: int, num_classes: int = 1000, seed: int = 0,
+                      weights: Optional[Mapping] = None) -> SubjectModel:
+    params = model_zoo.densenet.init(jax.random.PRNGKey(seed), depth,
+                                     num_classes)
+    params = _merge_weights(params, weights)
 
-    return factory
+    def apply(p, x, **kwargs):
+        return model_zoo.densenet.apply(p, x, depth=depth, **kwargs)
+
+    return SubjectModel(apply=apply, params=params,
+                        layers=model_zoo.densenet.LAYERS)
+
+
+def _mobilenet_factory(num_classes: int = 1000, seed: int = 0,
+                       weights: Optional[Mapping] = None) -> SubjectModel:
+    params = model_zoo.mobilenet.init(jax.random.PRNGKey(seed), num_classes)
+    params = _merge_weights(params, weights)
+    return SubjectModel(apply=model_zoo.mobilenet.apply, params=params,
+                        layers=model_zoo.mobilenet.LAYERS)
+
+
+def _shufflenet_factory(num_classes: int = 1000, seed: int = 0,
+                        weights: Optional[Mapping] = None) -> SubjectModel:
+    params = model_zoo.shufflenet.init(jax.random.PRNGKey(seed), num_classes)
+    params = _merge_weights(params, weights)
+    return SubjectModel(apply=model_zoo.shufflenet.apply, params=params,
+                        layers=model_zoo.shufflenet.LAYERS)
+
+
+def _squeezenet_factory(num_classes: int = 1000, seed: int = 0,
+                        weights: Optional[Mapping] = None) -> SubjectModel:
+    params = model_zoo.squeezenet.init(jax.random.PRNGKey(seed), num_classes)
+    params = _merge_weights(params, weights)
+    return SubjectModel(apply=model_zoo.squeezenet.apply, params=params,
+                        layers=model_zoo.squeezenet.LAYERS)
 
 
 def _partial(fn: Callable, **bound: Any) -> Callable:
@@ -426,17 +453,21 @@ def default_model_configs(**others: ModelConfig) -> Mapping[str, ModelConfig]:
                 batch_size=32,
                 dataset=zs_key))
 
-    # --- architectures pending port ---
-    for arch, layer_list in (("densenet121", LAYERS.DENSENET121),
-                             ("densenet201", LAYERS.DENSENET201),
-                             ("mobilenet_v2", LAYERS.MOBILENET_V2),
-                             ("shufflenet_v2_x1_0",
-                              LAYERS.SHUFFLENET_V2_X1_0),
-                             ("squeezenet1_0", LAYERS.SQUEEZENET1_0)):
-        for dataset in ("imagenet", "imagenet-blurred"):
-            configs[f"{arch}/{dataset}"] = ModelConfig(
-                _not_yet_implemented(arch), load_weights=False,
-                layers=layer_list)
+    # --- audit-zoo architectures (reference: models.py:234-347) ---
+    for arch, factory, layer_list in (
+            ("densenet121", _partial(_densenet_factory, depth=121),
+             LAYERS.DENSENET121),
+            ("densenet201", _partial(_densenet_factory, depth=201),
+             LAYERS.DENSENET201),
+            ("mobilenet_v2", _mobilenet_factory, LAYERS.MOBILENET_V2),
+            ("shufflenet_v2_x1_0", _shufflenet_factory,
+             LAYERS.SHUFFLENET_V2_X1_0),
+            ("squeezenet1_0", _squeezenet_factory, LAYERS.SQUEEZENET1_0)):
+        configs[f"{arch}/imagenet"] = ModelConfig(
+            factory, url=f"{hubs.HOST}/models/{arch}-imagenet.pth",
+            layers=layer_list)
+        configs[f"{arch}/imagenet-blurred"] = ModelConfig(
+            factory, layers=layer_list)
 
     configs.update(others)
     return configs

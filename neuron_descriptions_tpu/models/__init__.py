@@ -5,8 +5,10 @@ Every model is ``apply(params, images) -> (outputs, {layer: activations})``
 replacement for the reference's ``nethook.InstrumentedModel`` pattern
 (reference: src/deps/netdissect/nethook.py:16-136; SURVEY.md §7).
 """
-from neuron_descriptions_tpu.models import (alexnet, biggan, nn, resnet,
+from neuron_descriptions_tpu.models import (alexnet, biggan, densenet,
+                                            mobilenet, nn, resnet,
+                                            shufflenet, squeezenet,
                                             torch_import, vgg, vit)
 
-__all__ = ["alexnet", "biggan", "nn", "resnet", "torch_import", "vgg",
-           "vit"]
+__all__ = ["alexnet", "biggan", "densenet", "mobilenet", "nn", "resnet",
+           "shufflenet", "squeezenet", "torch_import", "vgg", "vit"]

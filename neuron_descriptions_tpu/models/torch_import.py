@@ -14,13 +14,58 @@ Two paths:
   runtime; TPU-side code only ever sees numpy/jnp arrays.
 """
 import pathlib
+import pickle
+import types
 from typing import Any, Dict, Mapping, Optional
 
 import numpy as np
 
 from neuron_descriptions_tpu.utils.typing import PathLike
 
-__all__ = ["load_state_dict", "to_numpy_tree"]
+__all__ = ["load_state_dict", "load_payload", "to_numpy_tree"]
+
+
+class _Stub:
+    """Placeholder for classes from packages absent in this environment.
+
+    The published MILAN payloads embed pickled spaCy objects — a
+    ``(config, bytes)`` tuple whose config is a thinc ``Config`` instance
+    (reference: src/utils/serialize.py:104-107). Deserializing a Decoder
+    never needs those objects (``lang.Tokenizer`` discards the ``nlp``
+    field and rebuilds its rule tokenizer from the boolean flags), so
+    unpickling substitutes inert stubs rather than failing on the missing
+    import.
+    """
+
+    def __init__(self, *args: Any, **kwargs: Any):
+        self._args = args
+        self._kwargs = kwargs
+
+    def __setstate__(self, state: Any) -> None:
+        self._state = state
+
+    def __call__(self, *args: Any, **kwargs: Any) -> "_Stub":
+        return _Stub(*args, **kwargs)
+
+
+class _TolerantUnpickler(pickle.Unpickler):
+
+    def find_class(self, module: str, name: str) -> Any:
+        try:
+            return super().find_class(module, name)
+        except (ImportError, AttributeError):
+            stub = type(name, (_Stub,), {"__module__": module})
+            return stub
+
+
+def _tolerant_pickle_module() -> types.SimpleNamespace:
+    """A pickle-module shim for ``torch.load(pickle_module=...)``."""
+    return types.SimpleNamespace(
+        Unpickler=_TolerantUnpickler,
+        load=lambda f, **kw: _TolerantUnpickler(f, **kw).load(),
+        loads=pickle.loads,
+        __name__="tolerant_pickle",
+    )
 
 
 def _torch():
@@ -47,6 +92,23 @@ def to_numpy_tree(obj: Any) -> Any:
     return obj
 
 
+def load_payload(path: PathLike) -> Any:
+    """torch.load a ``.pth`` file, tolerating classes from absent packages.
+
+    Tries the default unpickler first (faithful objects when the packages
+    exist) and falls back to stubbing unknown classes — which is what the
+    published MILAN payloads need here, since they embed spaCy pipeline
+    objects and spaCy is not a dependency of this framework.
+    """
+    torch = _torch()
+    path = pathlib.Path(path)
+    try:
+        return torch.load(str(path), map_location="cpu", weights_only=False)
+    except (ImportError, ModuleNotFoundError, AttributeError):
+        return torch.load(str(path), map_location="cpu", weights_only=False,
+                          pickle_module=_tolerant_pickle_module())
+
+
 def load_state_dict(path: PathLike,
                     transform: Optional[Any] = None
                     ) -> Dict[str, np.ndarray]:
@@ -60,9 +122,8 @@ def load_state_dict(path: PathLike,
             for places365 checkpoints, reference:
             src/exemplars/models.py:180-182).
     """
-    torch = _torch()
     path = pathlib.Path(path)
-    payload = torch.load(str(path), map_location="cpu", weights_only=False)
+    payload = load_payload(path)
     if transform is not None:
         payload = transform(payload)
     if not isinstance(payload, Mapping):

@@ -180,9 +180,7 @@ def load_payload(file: PathLike) -> Dict[str, Any]:
         magic = handle.read(2)
     if magic == b"PK":
         from neuron_descriptions_tpu.models import torch_import
-        torch = torch_import._torch()
-        payload = torch.load(str(file), map_location="cpu",
-                             weights_only=False)
+        payload = torch_import.load_payload(file)
         return torch_import.to_numpy_tree(payload)
     with file.open("rb") as handle:
         try:
@@ -190,9 +188,7 @@ def load_payload(file: PathLike) -> Dict[str, Any]:
         except Exception:
             # Legacy (pre-zipfile) torch pickles need torch's unpickler.
             from neuron_descriptions_tpu.models import torch_import
-            torch = torch_import._torch()
-            payload = torch.load(str(file), map_location="cpu",
-                                 weights_only=False)
+            payload = torch_import.load_payload(file)
             return torch_import.to_numpy_tree(payload)
 
 
