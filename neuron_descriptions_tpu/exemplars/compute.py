@@ -422,13 +422,23 @@ def _gather_kernel(acts: Array, images: Array, b_idx: Array, u_idx: Array,
     """Fused mask + composite for a padded batch of (image, unit) pairs.
 
     acts: (B, U, h, w) activations; images: (B, 3, H, W) in byte space.
+
+    On TPU the upsample+threshold+composite runs as the Pallas kernel
+    (``ops.pallas_masks``, SURVEY.md §7's fused gather kernel); elsewhere
+    the XLA-fused ops path computes the identical bytes.
     """
     size = (output_size, output_size)
     sel = acts[b_idx, u_idx]  # (M, h, w)
-    mask = mask_ops.activation_mask(sel, levels[u_idx], size)
     imgs = mask_ops.resize_nearest(images[b_idx], size)
-    masked = mask_ops.masked_image(imgs, mask, outside_bright=0.25)
     byte_imgs = jnp.clip(imgs, 0, 255).astype(jnp.uint8)
+    if jax.default_backend() == "tpu":
+        from neuron_descriptions_tpu.ops import pallas_masks
+        masked, mask = pallas_masks.fused_masked_composite(
+            sel, imgs, levels[u_idx], size, outside_bright=0.25,
+            interpret=False)
+        return masked, byte_imgs, mask
+    mask = mask_ops.activation_mask(sel, levels[u_idx], size)
+    masked = mask_ops.masked_image(imgs, mask, outside_bright=0.25)
     return masked, byte_imgs, mask.astype(jnp.uint8)
 
 
