@@ -107,6 +107,15 @@ def load_payload(path: PathLike) -> Any:
     except (ImportError, ModuleNotFoundError, AttributeError):
         return torch.load(str(path), map_location="cpu", weights_only=False,
                           pickle_module=_tolerant_pickle_module())
+    except Exception:
+        # Not a torch container at all — the native save format is a plain
+        # pickle of numpy-only dicts (utils.serialize.save_payload).
+        with path.open("rb") as handle:
+            try:
+                return pickle.load(handle)
+            except Exception:
+                handle.seek(0)
+                return _TolerantUnpickler(handle).load()
 
 
 def load_state_dict(path: PathLike,
@@ -130,8 +139,11 @@ def load_state_dict(path: PathLike,
         raise ValueError(
             f"expected a state-dict mapping in {path}, got "
             f"{type(payload).__name__}")
+    torch = _torch()
     state = {}
     for key, value in payload.items():
         if isinstance(value, torch.Tensor):
             state[key] = value.detach().cpu().numpy()
+        elif isinstance(value, np.ndarray):
+            state[key] = value
     return state
