@@ -43,6 +43,10 @@ def main() -> None:
     parser.add_argument("--devices", type=int,
                         help="shard the scan over this many devices "
                         "(default: single device)")
+    parser.add_argument("--bf16", action="store_true",
+                        help="run the subject-model forward in bfloat16 "
+                        "(~1.25x faster scan; stats stay f32; masks may "
+                        "shift slightly vs the f32 reference)")
     parser.add_argument("--no-viz", action="store_true",
                         help="do not compute visualization")
     parser.add_argument("--no-link", action="store_true",
@@ -98,6 +102,9 @@ def main() -> None:
         if generative:
             compute.generative(model.apply, model.params, dataset, **kwargs)
         else:
+            if args.bf16:
+                import jax.numpy as jnp
+                kwargs["compute_dtype"] = jnp.bfloat16
             compute.discriminative(model.apply, model.params, dataset,
                                    **kwargs)
 

@@ -260,3 +260,21 @@ def test_biggan_generative_dissection(tmp_path):
     assert images.shape == (n_units, 2, 3, 64, 64)
     assert masks.shape == (n_units, 2, 1, 64, 64)
     assert images.dtype == np.uint8
+
+
+def test_discriminative_bf16_compute_dtype(tmp_path, subject):
+    """Opt-in bf16 forward keeps the pipeline shape/contract intact and
+    ranks top images consistently with f32 on well-separated data."""
+    dataset = FakeImageDataset()
+    kwargs = dict(layer="conv", k=2, output_size=SIZE, batch_size=4,
+                  num_workers=0, display_progress=False, save_viz=False)
+    tk32, _ = compute.discriminative(
+        tiny_conv_apply, subject, dataset,
+        results_dir=tmp_path / "f32", **kwargs)
+    tk16, _ = compute.discriminative(
+        tiny_conv_apply, subject, dataset, compute_dtype=jnp.bfloat16,
+        results_dir=tmp_path / "bf16", **kwargs)
+    assert tk16.values.dtype == jnp.float32  # stats stay f32
+    np.testing.assert_array_equal(np.asarray(tk16.indices),
+                                  np.asarray(tk32.indices))
+    assert (tmp_path / "bf16" / "conv" / "images.npy").exists()
