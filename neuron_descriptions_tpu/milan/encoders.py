@@ -233,7 +233,14 @@ class PyramidConvEncoder(Encoder):
                             normalize)
 
     def load_state_dict(self, state_dict: Mapping[str, np.ndarray]) -> None:
-        """Ingest a torch-keyed state dict (``model.``-prefixed backbone)."""
+        """Ingest a torch-keyed state dict.
+
+        The reference nests the classifier as
+        ``encoder (InstrumentedModel) . model . <torchvision key>``
+        (reference: encoders.py:274 + nethook.InstrumentedModel), so inside
+        a Decoder payload the backbone keys arrive here as
+        ``encoder.model.*`` alongside the ``mean``/``std`` buffers.
+        """
         matched = 0
         for name, value in state_dict.items():
             if name == "mean":
@@ -242,8 +249,8 @@ class PyramidConvEncoder(Encoder):
             elif name == "std":
                 self.std = jnp.asarray(value, jnp.float32)
                 matched += 1
-            elif name.startswith("model."):
-                stripped = name[len("model."):]
+            elif name.startswith("encoder.model."):
+                stripped = name[len("encoder.model."):]
                 if stripped.endswith("num_batches_tracked"):
                     continue
                 if stripped not in self.params:
@@ -256,15 +263,13 @@ class PyramidConvEncoder(Encoder):
                         f"{np.shape(value)}")
                 self.params[stripped] = jnp.asarray(value)
                 matched += 1
-            # InstrumentedModel nests the classifier under ``model.``; any
-            # other key would be a contract break worth failing on.
             elif not name.endswith("num_batches_tracked"):
                 raise KeyError(f"unexpected encoder weight: {name}")
         if not matched:
             raise ValueError("encoder state dict matched no parameters")
 
     def state_dict(self) -> Dict[str, np.ndarray]:
-        out = {f"model.{name}": np.asarray(value)
+        out = {f"encoder.model.{name}": np.asarray(value)
                for name, value in self.params.items()}
         out["mean"] = np.asarray(self.mean)
         out["std"] = np.asarray(self.std)

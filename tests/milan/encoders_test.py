@@ -79,7 +79,9 @@ def test_map(encoder, annotated_dataset):
 
 def test_state_dict_round_trip(encoder, rng):
     state = encoder.state_dict()
-    assert "model.conv1.weight" in state
+    # Reference nesting: Decoder payloads hold encoder.encoder.model.* keys,
+    # so at encoder level the backbone lives under encoder.model.*.
+    assert "encoder.model.conv1.weight" in state
     assert "mean" in state
     rebuilt = encoders.PyramidConvEncoder(config="resnet18", seed=99)
     rebuilt.load_state_dict(state)
@@ -90,7 +92,8 @@ def test_state_dict_round_trip(encoder, rng):
 
 def test_load_state_dict_rejects_unknown(encoder):
     with pytest.raises(KeyError):
-        encoder.load_state_dict({"model.bogus.weight": np.zeros((1,))})
+        encoder.load_state_dict(
+            {"encoder.model.bogus.weight": np.zeros((1,))})
 
 
 def test_serialization_properties(encoder):

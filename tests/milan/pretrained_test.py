@@ -80,3 +80,52 @@ def test_pretrained_loads_torch_payload(tmp_path, monkeypatch, indexer):
 def test_pretrained_unknown_key():
     with pytest.raises(KeyError):
         milan.pretrained("not-a-grouping")
+
+
+def test_pretrained_full_chain_with_pyramid_encoder(tmp_path, monkeypatch,
+                                                    indexer, rng):
+    """The complete published-checkpoint chain with a REAL
+    PyramidConvEncoder: torch-format payload with the reference's exact
+    key nesting (state_dict holds encoder.encoder.model.<torchvision key>
+    + encoder.mean/std — reference: encoders.py:274 + nethook) loads via
+    pretrained() and reproduces the donor's captions bit-for-bit."""
+    from neuron_descriptions_tpu.milan import encoders
+
+    monkeypatch.setenv(env.ENV_MODELS_DIR, str(tmp_path))
+
+    encoder = encoders.PyramidConvEncoder(config="resnet18", seed=3)
+    donor_lm = lms.LanguageModel(indexer, embedding_size=8, hidden_size=16,
+                                 layers=2)
+    donor = decoders.Decoder(indexer, encoder, lm=donor_lm,
+                             embedding_size=8, hidden_size=16, length=6,
+                             beam_size=4, strategy="rerank")
+
+    state = donor.state_dict()
+    assert "encoder.encoder.model.conv1.weight" in state
+    assert "encoder.mean" in state
+    assert "lm.lstm.weight_ih_l0" in state
+    assert "lstm.weight_ih" in state  # LSTMCell (no _l0 suffix)
+
+    payload = donor.serialize()
+
+    def to_torch(obj):
+        if isinstance(obj, np.ndarray):
+            return torch.from_numpy(obj.copy())
+        if isinstance(obj, dict):
+            return {key: to_torch(value) for key, value in obj.items()}
+        if isinstance(obj, (list, tuple)):
+            return type(obj)(to_torch(v) for v in obj)
+        return obj
+
+    torch.save(to_torch(dict(payload)), tmp_path / "cls.pth")
+    rebuilt = milan.pretrained("cls")
+
+    images = rng.random((2, 3, 3, 32, 32)).astype(np.float32)
+    masks = (rng.random((2, 3, 1, 32, 32)) > 0.5).astype(np.float32)
+    out_a = donor(jnp.asarray(images), masks=jnp.asarray(masks),
+                  strategy="beam", mi=False)
+    out_b = rebuilt(jnp.asarray(images), masks=jnp.asarray(masks),
+                    strategy="beam", mi=False)
+    assert out_a.captions == out_b.captions
+    np.testing.assert_allclose(np.asarray(out_a.scores),
+                               np.asarray(out_b.scores), atol=1e-5)
