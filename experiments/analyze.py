@@ -20,7 +20,7 @@ import shutil
 import numpy as np
 
 from neuron_descriptions_tpu import exemplars, milan, milannotations
-from neuron_descriptions_tpu.utils import ablations, env, lang, training, viz
+from neuron_descriptions_tpu.utils import ablations, env, lang, training
 
 EXPERIMENT_RANDOM = "random"
 EXPERIMENT_SEM_AIRLINER = "airliner"

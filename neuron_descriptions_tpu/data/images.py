@@ -7,7 +7,7 @@ resize stay on host CPU threads (the TPU analog of DataLoader workers);
 arrays are handed to the device pipeline as contiguous float32 NCHW.
 """
 import pathlib
-from typing import Callable, List, Optional, Sequence, Tuple
+from typing import Callable, List, Optional, Tuple
 
 import numpy as np
 from PIL import Image

@@ -12,7 +12,7 @@ Interfaces use NCHW / OIHW (torch's layout) so imported weights need no
 transposition; XLA lays out and fuses for the MXU regardless of the logical
 layout.
 """
-from typing import Optional, Sequence, Tuple, Union
+from typing import Optional, Tuple, Union
 
 import jax
 import jax.numpy as jnp

@@ -13,7 +13,7 @@ returns the tapped intermediates:
 Parameters are a flat dict keyed exactly like ``state_dict()`` of the torch
 model, so pretrained-weight import is a mechanical copy.
 """
-from typing import Callable, Dict, Mapping, Optional, Sequence, Tuple
+from typing import Callable, Dict, Mapping, Optional, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -15,8 +15,7 @@ compare into one VPU pass; no gather-grid tensors are materialized.
 Receptive-field scale/offset composition (upsample.py:46-121) is pure Python
 over static conv configs, evaluated at trace time.
 """
-import math
-from typing import Optional, Sequence, Tuple, Union
+from typing import Optional, Sequence, Tuple
 
 import jax.numpy as jnp
 

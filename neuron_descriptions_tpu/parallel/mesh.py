@@ -1,5 +1,5 @@
 """Device mesh construction and sharding constructors."""
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Tuple
 
 import jax
 import numpy as np

@@ -15,7 +15,7 @@ import pathlib
 import tempfile
 import urllib.request
 import zipfile
-from typing import Any, Callable, Dict, Mapping, Optional
+from typing import Any, Callable, Optional
 
 from neuron_descriptions_tpu.utils import env
 from neuron_descriptions_tpu.utils.typing import PathLike
