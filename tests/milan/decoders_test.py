@@ -393,3 +393,16 @@ def test_save_load(tmp_path, model_with_lm, features):
     out_a = model(jnp.asarray(features), strategy="greedy", mi=False)
     out_b = rebuilt(jnp.asarray(features), strategy="greedy", mi=False)
     assert out_a.captions == out_b.captions
+
+
+def test_predict_mesh_sharded(model, annotated_dataset):
+    """Unit-sharded captioning over the virtual 8-device mesh must produce
+    the same captions as single-device decode (batch padded to mesh size)."""
+    import jax
+    from neuron_descriptions_tpu.parallel import mesh as mesh_lib
+
+    mesh = mesh_lib.default_mesh(len(jax.devices()))
+    plain = model.predict(annotated_dataset, strategy="greedy", batch_size=4)
+    sharded = model.predict(annotated_dataset, strategy="greedy",
+                            batch_size=4, mesh=mesh)
+    assert plain == sharded
