@@ -189,15 +189,15 @@ def _milan_predictions(test, train, method, experiment_key, trial,
             print(f"loading lm from {lm_file}")
             lm = milan.LanguageModel.load(lm_file)
         else:
-            lm = milan.lm(train)
-            lm.fit(train)
+            lm = milan.lm(train, seed=trial)
+            lm.fit(train, seed=trial)
             print(f"saving lm to {lm_file}")
             lm.save(lm_file)
 
         encoder = milan.encoder()
         train_features = encoder.map(train) if precompute_features else None
-        decoder = milan.decoder(train, encoder, lm=lm)
-        decoder.fit(train, features=train_features)
+        decoder = milan.decoder(train, encoder, lm=lm, seed=trial)
+        decoder.fit(train, features=train_features, seed=trial)
         print(f"saving decoder to {milan_file}")
         decoder.save(milan_file)
 

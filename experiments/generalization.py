@@ -109,10 +109,11 @@ def main() -> None:
             for left_key, right_key in splits:
                 left = milannotations.load(left_key, path=data_dir)
                 right = milannotations.load(right_key, path=data_dir)
-                configs.append(LoadedSplit(left, right, left_key, right_key))
+                configs.append(
+                    LoadedSplit(left, right, (left_key,), (right_key,)))
                 if experiment != EXPERIMENT_ACROSS_ARCH:
                     configs.append(
-                        LoadedSplit(right, left, right_key, left_key))
+                        LoadedSplit(right, left, (right_key,), (left_key,)))
         else:
             assert experiment == EXPERIMENT_WITHIN_NETWORK
             configs = []
@@ -151,8 +152,10 @@ def main() -> None:
                     print(f"loading lm from {lm_file}")
                     lm = milan.LanguageModel.load(lm_file)
                 else:
-                    lm = milan.lm(train)
-                    lm.fit(train)
+                    # Per-trial seeds: the reference gets across-trial
+                    # variance from torch's global RNG; ours is explicit.
+                    lm = milan.lm(train, seed=trial_id)
+                    lm.fit(train, seed=trial_id)
                     print(f"saving lm to {lm_file}")
                     lm.save(lm_file)
 
@@ -163,9 +166,9 @@ def main() -> None:
                 else:
                     decoder = milan.decoder(train, encoder, lm=lm,
                                             strategy="rerank", beam_size=50,
-                                            temperature=0.2)
+                                            temperature=0.2, seed=trial_id)
                     decoder.fit(
-                        train, features=train_features,
+                        train, features=train_features, seed=trial_id,
                         patience=10
                         if experiment == EXPERIMENT_WITHIN_NETWORK else 4)
                     print(f"saving decoder to {decoder_file}")

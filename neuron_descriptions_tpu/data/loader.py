@@ -81,30 +81,31 @@ class Loader:
         error: list = []
         stop = threading.Event()
 
+        def bounded_put(item) -> bool:
+            """Put that also watches the stop flag, so an abandoned consumer
+            can never strand this thread on a full queue. Returns False if
+            stopped before the item was enqueued."""
+            while not stop.is_set():
+                try:
+                    out.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def producer() -> None:
             try:
                 with concurrent.futures.ThreadPoolExecutor(
                         self.num_workers) as pool:
                     for chunk in chunks:
-                        batch = self._load_batch(pool, chunk)
-                        # Bounded put that also watches the stop flag, so an
-                        # abandoned consumer can never strand this thread on
-                        # a full queue.
-                        while not stop.is_set():
-                            try:
-                                out.put(batch, timeout=0.1)
-                                break
-                            except queue.Full:
-                                continue
-                        if stop.is_set():
+                        if not bounded_put(self._load_batch(pool, chunk)):
                             return
             except BaseException as exc:  # propagate to consumer
                 error.append(exc)
             finally:
-                try:
-                    out.put_nowait(sentinel)
-                except queue.Full:
-                    pass
+                # The sentinel MUST reach the consumer (or the consumer must
+                # have stopped); a dropped sentinel would deadlock out.get().
+                bounded_put(sentinel)
 
         thread = threading.Thread(target=producer, daemon=True)
         thread.start()

@@ -27,7 +27,6 @@ and lightbox HTML, reference: compute.py:210-244), so downstream
 ``milannotations`` datasets are format-compatible with both pipelines.
 """
 import collections
-import contextlib
 import concurrent.futures
 import pathlib
 import shutil
@@ -220,151 +219,160 @@ def compute(compute_topk_and_quantile: ComputeTopkAndQuantileFn,
                 return acts[:, units_arr], images
             return outputs[:, units_arr]
 
-    profile_scope = contextlib.ExitStack()
-    profile_scope.enter_context(profiling.trace(profile_dir))
+    # Cache keys must pin everything that shapes the cached arrays;
+    # the unit subset changes both passes' outputs (review finding:
+    # a different units= run must not reuse a stale cache).
+    units_key = ("all" if units_arr is None else
+                 ",".join(str(u) for u in units_arr.tolist()))
 
-    # ------------------------------------------------------------------
-    # PASS 1: stream the whole dataset through topk + quantile folds.
-    # ------------------------------------------------------------------
-    cache_args = dict(k=k, r=r, count=len(dataset), seed=rng_seed)
-    cached = _load_tally_cache(
-        pathlib.Path(tally_cache_file) if tally_cache_file else None,
-        cache_args)
-    if cached is not None:
-        tk, qs = cached
-    elif mesh is not None:
-        tk, qs = _sharded_pass1(compute_topk_and_quantile, dataset, mesh,
-                                k=k, r=r, batch_size=batch_size,
-                                num_workers=num_workers, rng_seed=rng_seed,
-                                display_progress=display_progress)
-    else:
-        fold = jax.jit(_fold_stats, donate_argnums=(0, 1))
-        key = jax.random.PRNGKey(rng_seed)
-        tk = qs = None
-        start = 0
-        it = data_loader.Loader(dataset, batch_size=batch_size,
-                                num_workers=num_workers)
-        if display_progress:
-            it = _progress(it, "tally activations", len(it))
-        for i, batch in enumerate(it):
-            batch = batch if isinstance(batch, tuple) else (batch,)
-            pooled, flat = compute_topk_and_quantile(*batch)
-            if tk is None:
-                n_units = pooled.shape[1]
-                tk = topk_ops.init(n_units, k)
-                qs = quantile_ops.init(n_units, r=r)
-            tk, qs = fold(tk, qs, pooled, flat, jnp.int32(start),
-                          jax.random.fold_in(key, i))
-            start += int(pooled.shape[0])
-        if tk is None:
-            raise ValueError("dataset is empty")
-        if tally_cache_file is not None:
-            _save_tally_cache(pathlib.Path(tally_cache_file), tk, qs,
-                              cache_args)
-
-    # ------------------------------------------------------------------
-    # PASS 2: revisit only the top-k images; build masks and composites.
-    # ------------------------------------------------------------------
-    if save_results or save_viz or masks_cache_file is not None:
-        levels = np.asarray(quantile_ops.quantiles(qs, quantile))
-        values, ids = (np.asarray(x) for x in topk_ops.result(tk))
-        n_units = ids.shape[0]
-        size = int(output_size)
-
-        # Pass-2 cache: skip the gather when a cache file matches
-        # (reference: compute.py:90-94 caches the gathered topk tensor).
-        masks_cache_args = dict(k=k, quantile=quantile, output_size=size,
-                                count=len(dataset), seed=rng_seed)
-        cached_masks = _load_masks_cache(
-            pathlib.Path(masks_cache_file) if masks_cache_file else None,
-            masks_cache_args)
-
-        if cached_masks is not None:
-            images_out = cached_masks["images"]
-            masks_out = cached_masks["masks"]
-            masked_out = cached_masks["masked"]
+    def run_passes() -> ActivationStats:
+        # ------------------------------------------------------------------
+        # PASS 1: stream the whole dataset through topk + quantile folds.
+        # ------------------------------------------------------------------
+        cache_args = dict(k=k, r=r, count=len(dataset), seed=rng_seed,
+                          units=units_key)
+        cached = _load_tally_cache(
+            pathlib.Path(tally_cache_file) if tally_cache_file else None,
+            cache_args)
+        if cached is not None:
+            tk, qs = cached
+        elif mesh is not None:
+            tk, qs = _sharded_pass1(compute_topk_and_quantile, dataset, mesh,
+                                    k=k, r=r, batch_size=batch_size,
+                                    num_workers=num_workers, rng_seed=rng_seed,
+                                    display_progress=display_progress)
         else:
-            # Static gather plan: image id -> [(unit, rank), ...].
-            needed: Dict[int, list] = collections.defaultdict(list)
-            for unit in range(n_units):
-                for rank in range(k):
-                    img = int(ids[unit, rank])
-                    if img >= 0:
-                        needed[img].append((unit, rank))
-            needed_ids = sorted(needed)
-
-            images_out = np.zeros((n_units, k, 3, size, size),
-                                  dtype=np.uint8)
-            masks_out = np.zeros((n_units, k, 1, size, size), dtype=np.uint8)
-            masked_out = np.zeros((n_units, k, 3, size, size),
-                                  dtype=np.uint8)
-
-            gather_batch = min(batch_size, max(1, len(needed_ids)))
-            chunks = [
-                needed_ids[i:i + gather_batch]
-                for i in range(0, len(needed_ids), gather_batch)
-            ]
-            max_hits = max(
-                (sum(len(needed[i]) for i in chunk) for chunk in chunks),
-                default=0)
-
-            kernel = jax.jit(partial(_gather_kernel, output_size=size))
-            levels_j = jnp.asarray(levels)
-
-            it2 = data_loader.Loader(dataset, batch_size=gather_batch,
-                                     num_workers=num_workers,
-                                     indices=needed_ids)
+            fold = jax.jit(_fold_stats, donate_argnums=(0, 1))
+            key = jax.random.PRNGKey(rng_seed)
+            tk = qs = None
+            start = 0
+            it = data_loader.Loader(dataset, batch_size=batch_size,
+                                    num_workers=num_workers)
             if display_progress:
-                it2 = _progress(it2, "compute top images", len(chunks))
-            for chunk, batch in zip(chunks, it2):
+                it = _progress(it, "tally activations", len(it))
+            for i, batch in enumerate(it):
                 batch = batch if isinstance(batch, tuple) else (batch,)
-                outputs = compute_activations(*batch)
-                if isinstance(outputs, tuple):
-                    acts, images = outputs
-                else:
-                    acts, images = outputs, jnp.asarray(batch[0])
+                pooled, flat = compute_topk_and_quantile(*batch)
+                if tk is None:
+                    n_units = pooled.shape[1]
+                    tk = topk_ops.init(n_units, k)
+                    qs = quantile_ops.init(n_units, r=r)
+                tk, qs = fold(tk, qs, pooled, flat, jnp.int32(start),
+                              jax.random.fold_in(key, i))
+                start += int(pooled.shape[0])
+            if tk is None:
+                raise ValueError("dataset is empty")
+            if tally_cache_file is not None:
+                _save_tally_cache(pathlib.Path(tally_cache_file), tk, qs,
+                                  cache_args)
 
-                triples = [(b, unit, rank) for b, img in enumerate(chunk)
-                           for unit, rank in needed[img]]
-                pad = max_hits - len(triples)
-                b_idx = np.array([t[0] for t in triples] + [0] * pad,
-                                 np.int32)
-                u_idx = np.array([t[1] for t in triples] + [0] * pad,
-                                 np.int32)
+        # ------------------------------------------------------------------
+        # PASS 2: revisit only the top-k images; build masks and composites.
+        # ------------------------------------------------------------------
+        if save_results or save_viz or masks_cache_file is not None:
+            levels = np.asarray(quantile_ops.quantiles(qs, quantile))
+            values, ids = (np.asarray(x) for x in topk_ops.result(tk))
+            n_units = ids.shape[0]
+            size = int(output_size)
 
-                byte_images = _to_byte_space(images, renormalizer)
-                masked_b, images_b, mask_b = kernel(jnp.asarray(acts),
-                                                    byte_images,
-                                                    jnp.asarray(b_idx),
-                                                    jnp.asarray(u_idx),
-                                                    levels_j)
-                masked_b = np.asarray(masked_b)
-                images_b = np.asarray(images_b)
-                mask_b = np.asarray(mask_b)
-                for t, (b, unit, rank) in enumerate(triples):
-                    masked_out[unit, rank] = masked_b[t]
-                    images_out[unit, rank] = images_b[t]
-                    masks_out[unit, rank, 0] = mask_b[t]
+            # Pass-2 cache: skip the gather when a cache file matches
+            # (reference: compute.py:90-94 caches the gathered topk tensor).
+            masks_cache_args = dict(k=k, quantile=quantile, output_size=size,
+                                    count=len(dataset), seed=rng_seed,
+                                    units=units_key)
+            cached_masks = _load_masks_cache(
+                pathlib.Path(masks_cache_file) if masks_cache_file else None,
+                masks_cache_args)
 
-            if masks_cache_file is not None:
-                _save_masks_cache(
-                    pathlib.Path(masks_cache_file),
-                    {"images": images_out, "masks": masks_out,
-                     "masked": masked_out}, masks_cache_args)
+            if cached_masks is not None:
+                images_out = cached_masks["images"]
+                masks_out = cached_masks["masks"]
+                masked_out = cached_masks["masked"]
+            else:
+                # Static gather plan: image id -> [(unit, rank), ...].
+                needed: Dict[int, list] = collections.defaultdict(list)
+                for unit in range(n_units):
+                    for rank in range(k):
+                        img = int(ids[unit, rank])
+                        if img >= 0:
+                            needed[img].append((unit, rank))
+                needed_ids = sorted(needed)
 
-        if save_results:
-            np.save(results_dir / "images.npy", images_out)
-            np.save(results_dir / "masks.npy", masks_out)
-            np.savetxt(results_dir / "activations.csv",
-                       values.reshape(n_units, k), delimiter=",", fmt="%.5e")
-            np.savetxt(results_dir / "ids.csv", ids.reshape(n_units, k),
-                       delimiter=",", fmt="%i")
+                images_out = np.zeros((n_units, k, 3, size, size),
+                                      dtype=np.uint8)
+                masks_out = np.zeros((n_units, k, 1, size, size), dtype=np.uint8)
+                masked_out = np.zeros((n_units, k, 3, size, size),
+                                      dtype=np.uint8)
 
-        if save_viz:
-            _save_viz(viz_dir, masked_out, num_workers=num_workers)
+                gather_batch = min(batch_size, max(1, len(needed_ids)))
+                chunks = [
+                    needed_ids[i:i + gather_batch]
+                    for i in range(0, len(needed_ids), gather_batch)
+                ]
+                max_hits = max(
+                    (sum(len(needed[i]) for i in chunk) for chunk in chunks),
+                    default=0)
 
-    profile_scope.close()
-    return tk, qs
+                kernel = jax.jit(partial(_gather_kernel, output_size=size))
+                levels_j = jnp.asarray(levels)
+
+                it2 = data_loader.Loader(dataset, batch_size=gather_batch,
+                                         num_workers=num_workers,
+                                         indices=needed_ids)
+                if display_progress:
+                    it2 = _progress(it2, "compute top images", len(chunks))
+                for chunk, batch in zip(chunks, it2):
+                    batch = batch if isinstance(batch, tuple) else (batch,)
+                    outputs = compute_activations(*batch)
+                    if isinstance(outputs, tuple):
+                        acts, images = outputs
+                    else:
+                        acts, images = outputs, jnp.asarray(batch[0])
+
+                    triples = [(b, unit, rank) for b, img in enumerate(chunk)
+                               for unit, rank in needed[img]]
+                    pad = max_hits - len(triples)
+                    b_idx = np.array([t[0] for t in triples] + [0] * pad,
+                                     np.int32)
+                    u_idx = np.array([t[1] for t in triples] + [0] * pad,
+                                     np.int32)
+
+                    byte_images = _to_byte_space(images, renormalizer)
+                    masked_b, images_b, mask_b = kernel(jnp.asarray(acts),
+                                                        byte_images,
+                                                        jnp.asarray(b_idx),
+                                                        jnp.asarray(u_idx),
+                                                        levels_j)
+                    masked_b = np.asarray(masked_b)
+                    images_b = np.asarray(images_b)
+                    mask_b = np.asarray(mask_b)
+                    for t, (b, unit, rank) in enumerate(triples):
+                        masked_out[unit, rank] = masked_b[t]
+                        images_out[unit, rank] = images_b[t]
+                        masks_out[unit, rank, 0] = mask_b[t]
+
+                if masks_cache_file is not None:
+                    _save_masks_cache(
+                        pathlib.Path(masks_cache_file),
+                        {"images": images_out, "masks": masks_out,
+                         "masked": masked_out}, masks_cache_args)
+
+            if save_results:
+                np.save(results_dir / "images.npy", images_out)
+                np.save(results_dir / "masks.npy", masks_out)
+                np.savetxt(results_dir / "activations.csv",
+                           values.reshape(n_units, k), delimiter=",", fmt="%.5e")
+                np.savetxt(results_dir / "ids.csv", ids.reshape(n_units, k),
+                           delimiter=",", fmt="%i")
+
+            if save_viz:
+                _save_viz(viz_dir, masked_out, num_workers=num_workers)
+
+        return tk, qs
+
+    # The profiler trace must stop even when a pass raises.
+    with profiling.trace(profile_dir):
+        return run_passes()
 
 
 def _fold_stats(tk, qs, pooled, flat, start, key):

@@ -184,6 +184,12 @@ class LanguageModel(serialize.SerializableParams):
         The update step (forward + NLL + AdamW update) is one jitted,
         donated-buffer function; batches are padded to a fixed shape so XLA
         compiles a single program.
+
+        Note on ``hold_out`` indices: like the reference (lms.py:198-202),
+        the split is taken over the FLATTENED per-annotation sequence list,
+        not over dataset samples — callers passing neuron-level indices
+        (e.g. scripts/train_milan.py, mirroring the reference script) get
+        the reference's exact (annotation-level) split semantics.
         """
         sequences = []
         for index in range(len(dataset)):

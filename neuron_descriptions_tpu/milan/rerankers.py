@@ -214,17 +214,16 @@ class DecoderWithCLIP(decoders.Decoder):
         self.reranker_kwargs = dict(reranker_kwargs) if reranker_kwargs \
             else {}
         self.reranker_kwargs.setdefault("name", "ViT-B/32")
-        clip_path = self.reranker_kwargs.pop("path", None)
-        if clip_path is None:
+        kwargs_for_reranker = dict(self.reranker_kwargs)
+        clip_path = kwargs_for_reranker.pop("path", None)
+        if clip_path is None and "params" not in kwargs_for_reranker:
             from neuron_descriptions_tpu.utils import env
-            candidate = env.models_dir() / "clip-vit-b-32.pth"
-            if not candidate.exists():
-                try:
-                    hubs.download_file(CLIP_VITB32_URL, candidate)
-                except RuntimeError:
-                    candidate = None
-            clip_path = candidate
-        self.reranker = reranker(path=clip_path, **self.reranker_kwargs)
+            clip_path = env.models_dir() / "clip-vit-b-32.pth"
+            if not clip_path.exists():
+                # Fail loudly rather than silently reranking with random
+                # CLIP weights (review finding).
+                hubs.download_file(CLIP_VITB32_URL, clip_path)
+        self.reranker = reranker(path=clip_path, **kwargs_for_reranker)
 
     def forward(self,  # type: ignore[override]
                 images_or_features: Array,
@@ -262,6 +261,32 @@ class DecoderWithCLIP(decoders.Decoder):
 
         return decoders.DecoderOutput(captions, scores, tokens,
                                       *outputs[3:])
+
+    def predict(self,  # type: ignore[override]
+                dataset: Any,
+                image_index: int = 2,
+                mask_index: int = 3,
+                batch_size: int = 16,
+                display_progress_as: Any = None,
+                **kwargs: Any) -> Any:
+        """Caption every sample, keeping raw images intact for CLIP.
+
+        ``Decoder.predict`` pre-encodes images into features, but the CLIP
+        reranker must see the raw images and masks (reference:
+        decoders.py:1141-1149), so this override batches them through
+        ``forward`` directly.
+        """
+        del display_progress_as
+        captions = []
+        for start in range(0, len(dataset), batch_size):
+            stop = min(start + batch_size, len(dataset))
+            samples = [dataset[i] for i in range(start, stop)]
+            images = np.stack([np.asarray(s[image_index]) for s in samples])
+            masks = np.stack([np.asarray(s[mask_index]) for s in samples])
+            outputs = self(jnp.asarray(images), masks=jnp.asarray(masks),
+                           **kwargs)
+            captions.extend(outputs.captions)
+        return tuple(captions)
 
     def properties(self) -> serialize.Properties:
         return {

@@ -111,15 +111,24 @@ def init(key: PRNGKey, num_classes: int = 1000) -> Params:
 
 
 def apply_places365(params: Params, x: Array,
-                    include_lrn: bool = False
+                    include_lrn: bool = False,
+                    edits: Optional[Mapping[str,
+                                            Callable[[Array],
+                                                     Array]]] = None
                     ) -> Tuple[Array, Dict[str, Array]]:
-    """Caffe-style places365 AlexNet forward returning (logits, taps)."""
+    """Caffe-style places365 AlexNet forward returning (logits, taps).
+
+    ``edits`` rewrites a tap mid-forward (functional nethook.edit_layer).
+    """
     acts: Dict[str, Array] = {}
+    edits = edits or {}
     h = x
     for i, (name, *_spec) in enumerate(_CAFFE_CONVS):
         _, _, _, stride, padding, groups = _spec
         h = nn.conv2d(h, params[f"{name}.weight"], params[f"{name}.bias"],
                       stride=stride, padding=padding, groups=groups)
+        if name in edits:
+            h = edits[name](h)
         acts[name] = h
         h = nn.relu(h)
         if i in (0, 1):

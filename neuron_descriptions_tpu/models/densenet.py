@@ -10,7 +10,7 @@ feature map (pre-transition).
 Parameters are keyed exactly like torch ``state_dict()`` so pretrained
 import is mechanical.
 """
-from typing import Dict, Tuple
+from typing import Callable, Dict, Mapping, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -57,14 +57,26 @@ def _transition(params: Params, prefix: str, x: Array) -> Array:
     return nn.avg_pool2d(h, 2, 2)
 
 
-def apply(params: Params, x: Array, depth: int = 121
+def apply(params: Params, x: Array, depth: int = 121,
+          edits: Optional[Mapping[str, Callable[[Array], Array]]] = None
           ) -> Tuple[Array, Dict[str, Array]]:
-    """Run the DenseNet, returning (logits, taps)."""
+    """Run the DenseNet, returning (logits, taps).
+
+    ``edits`` rewrites a tap mid-forward (functional
+    nethook.edit_layer, reference: src/deps/netdissect/nethook.py:117-136).
+    """
     blocks = CONFIGS[depth]
     acts: Dict[str, Array] = {}
+    edits = edits or {}
+
+    def tap(name: str, value: Array) -> Array:
+        if name in edits:
+            value = edits[name](value)
+        acts[name] = value
+        return value
 
     h = nn.conv2d(x, params["features.conv0.weight"], stride=2, padding=3)
-    acts["features.conv0"] = h
+    h = tap("features.conv0", h)
     h = _bn_relu(params, "features.norm0", h)
     h = nn.max_pool2d(h, 3, 2, padding=1)
 
@@ -73,7 +85,7 @@ def apply(params: Params, x: Array, depth: int = 121
         for layer_index in range(1, n_layers + 1):
             new = _dense_layer(params, f"{block}.denselayer{layer_index}", h)
             h = jnp.concatenate([h, new], axis=1)
-        acts[block] = h
+        h = tap(block, h)
         if block_index < len(blocks):
             h = _transition(params, f"features.transition{block_index}", h)
 

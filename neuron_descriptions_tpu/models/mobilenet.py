@@ -5,7 +5,7 @@ src/exemplars/models.py LAYERS.MOBILENET_V2 = ``features.{0,2,...,18}``,
 hooking whole feature-block outputs). Torch state-dict key parity:
 ``features.N.conv.M...`` inverted-residual naming.
 """
-from typing import Dict, Tuple
+from typing import Callable, Dict, Mapping, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -80,17 +80,31 @@ def _block_plan():
             index += 1
 
 
-def apply(params: Params, x: Array) -> Tuple[Array, Dict[str, Array]]:
-    """Run MobileNetV2, returning (logits, {features.N: block outputs})."""
+def apply(params: Params, x: Array,
+          edits: Optional[Mapping[str, Callable[[Array], Array]]] = None
+          ) -> Tuple[Array, Dict[str, Array]]:
+    """Run MobileNetV2, returning (logits, {features.N: block outputs}).
+
+    ``edits`` rewrites a tap mid-forward (functional
+    nethook.edit_layer, reference: src/deps/netdissect/nethook.py:117-136).
+    """
     acts: Dict[str, Array] = {}
+    edits = edits or {}
+
+    def tap(name: str, value: Array) -> Array:
+        if name in edits:
+            value = edits[name](value)
+        acts[name] = value
+        return value
+
     h = _conv_bn(params, "features.0", x, stride=2, padding=1)
-    acts["features.0"] = h
+    h = tap("features.0", h)
     for index, expand, stride, in_ch, out_ch in _block_plan():
         h = _inverted_residual(params, f"features.{index}", h, expand,
                                stride, in_ch, out_ch)
-        acts[f"features.{index}"] = h
+        h = tap(f"features.{index}", h)
     h = _conv_bn(params, "features.18", h)
-    acts["features.18"] = h
+    h = tap("features.18", h)
     pooled = h.mean(axis=(2, 3))
     logits = nn.linear(pooled, params["classifier.1.weight"],
                        params["classifier.1.bias"])

@@ -5,7 +5,7 @@ conv5 (reference: src/exemplars/models.py LAYERS.SHUFFLENET_V2_X1_0).
 Torch state-dict key parity (``conv1.0``, ``stageN.M.branchK.*``,
 ``conv5.0``, ``fc``).
 """
-from typing import Dict, Tuple
+from typing import Callable, Dict, Mapping, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -68,12 +68,26 @@ def _unit(params: Params, prefix: str, x: Array, stride: int,
     return _channel_shuffle(out)
 
 
-def apply(params: Params, x: Array) -> Tuple[Array, Dict[str, Array]]:
-    """Run ShuffleNetV2, returning (logits, taps)."""
+def apply(params: Params, x: Array,
+          edits: Optional[Mapping[str, Callable[[Array], Array]]] = None
+          ) -> Tuple[Array, Dict[str, Array]]:
+    """Run ShuffleNetV2, returning (logits, taps).
+
+    ``edits`` rewrites a tap mid-forward (functional
+    nethook.edit_layer, reference: src/deps/netdissect/nethook.py:117-136).
+    """
     acts: Dict[str, Array] = {}
+    edits = edits or {}
+
+    def tap(name: str, value: Array) -> Array:
+        if name in edits:
+            value = edits[name](value)
+        acts[name] = value
+        return value
+
     h = nn.conv2d(x, params["conv1.0.weight"], stride=2, padding=1)
     h = nn.relu(_bn(params, "conv1.1", h))
-    acts["conv1"] = h  # hook on the conv1 Sequential -> post-BN-ReLU
+    h = tap("conv1", h)  # hook on the conv1 Sequential -> post-BN-ReLU
     h = nn.max_pool2d(h, 3, 2, padding=1)
 
     for stage_index, repeats in enumerate(STAGE_REPEATS, start=2):
@@ -83,11 +97,11 @@ def apply(params: Params, x: Array) -> Tuple[Array, Dict[str, Array]]:
             stride = 2 if unit_index == 0 else 1
             h = _unit(params, f"stage{stage_index}.{unit_index}", h, stride,
                       branch_ch)
-        acts[f"stage{stage_index}"] = h
+        h = tap(f"stage{stage_index}", h)
 
     h = nn.conv2d(h, params["conv5.0.weight"])
     h = nn.relu(_bn(params, "conv5.1", h))
-    acts["conv5"] = h
+    h = tap("conv5", h)
     pooled = h.mean(axis=(2, 3))
     logits = nn.linear(pooled, params["fc.weight"], params["fc.bias"])
     return logits, acts

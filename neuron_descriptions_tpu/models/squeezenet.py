@@ -6,7 +6,7 @@ LAYERS.SQUEEZENET1_0 = ``features.{0,3,4,5,7,8,9,10,12}``). Torch
 state-dict key parity (``features.N.squeeze/expand1x1/expand3x3``,
 ``classifier.1``).
 """
-from typing import Dict, Tuple
+from typing import Callable, Dict, Mapping, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -44,19 +44,33 @@ def _fire(params: Params, prefix: str, x: Array) -> Array:
     return jnp.concatenate([e1, e3], axis=1)
 
 
-def apply(params: Params, x: Array) -> Tuple[Array, Dict[str, Array]]:
-    """Run SqueezeNet 1.0, returning (logits, taps)."""
+def apply(params: Params, x: Array,
+          edits: Optional[Mapping[str, Callable[[Array], Array]]] = None
+          ) -> Tuple[Array, Dict[str, Array]]:
+    """Run SqueezeNet 1.0, returning (logits, taps).
+
+    ``edits`` rewrites a tap mid-forward (functional
+    nethook.edit_layer, reference: src/deps/netdissect/nethook.py:117-136).
+    """
     acts: Dict[str, Array] = {}
+    edits = edits or {}
+
+    def tap(name: str, value: Array) -> Array:
+        if name in edits:
+            value = edits[name](value)
+        acts[name] = value
+        return value
+
     h = nn.conv2d(x, params["features.0.weight"], params["features.0.bias"],
                   stride=2)
-    acts["features.0"] = h  # conv output pre-ReLU (hook on the conv module)
+    h = tap("features.0", h)  # conv output pre-ReLU (hook on conv module)
     h = nn.relu(h)
     for index in range(2, 13):
         if index in POOLS:
             h = nn.max_pool2d(h, 3, 2)
         elif index in FIRES:
             h = _fire(params, f"features.{index}", h)
-            acts[f"features.{index}"] = h
+            h = tap(f"features.{index}", h)
     h = nn.conv2d(h, params["classifier.1.weight"],
                   params["classifier.1.bias"])
     h = nn.relu(h)

@@ -66,7 +66,10 @@ def ablated(model: Any,
     base_apply = model.apply
 
     def apply(params: Any, *inputs: Any, **kwargs: Any):
-        kwargs.setdefault("edits", edits)
+        # Only inject when there is something to edit, so models whose
+        # apply lacks an edits= parameter still work un-ablated.
+        if edits:
+            kwargs.setdefault("edits", edits)
         return base_apply(params, *inputs, **kwargs)
 
     yield dataclasses.replace(model, apply=apply) \

@@ -120,10 +120,11 @@ class ModelHub:
             raise KeyError(f"no such model in hub: {name}")
         config = self.configs[name]
         if path is None and (config.load_weights or config.requires_path):
-            candidate = env.models_dir() / f"{name}.pth"
-            if candidate.exists() or config.url is not None \
-                    or config.requires_path:
-                path = candidate
+            # Reference behavior (hubs.py:166-167): the default path is
+            # always <models_dir>/<name>.pth; a weight-loading config whose
+            # file is missing (and has no URL) fails loudly rather than
+            # silently running random init.
+            path = env.models_dir() / f"{name}.pth"
         return config.load(path=path, **kwargs)
 
 

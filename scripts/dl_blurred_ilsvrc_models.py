@@ -71,8 +71,12 @@ def main() -> None:
         remapped = {key.replace("module.", ""): value
                     for key, value in weights.items()}
 
-        model_file = (models_dir /
-                      f"{name}-{milannotations.KEYS.IMAGENET_BLURRED}.pth")
+        # Hub resolution expects <models_dir>/<arch>/imagenet-blurred.pth
+        # (ModelHub.load path = models_dir / "<name>.pth" with name
+        # "<arch>/imagenet-blurred").
+        model_file = (models_dir / name /
+                      f"{milannotations.KEYS.IMAGENET_BLURRED}.pth")
+        model_file.parent.mkdir(exist_ok=True, parents=True)
         print(f"saving {name} blurred imagenet model to {model_file}")
         with model_file.open("wb") as handle:
             pickle.dump(remapped, handle)

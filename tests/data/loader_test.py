@@ -67,3 +67,28 @@ def test_abandoned_iteration_does_not_leak_producer():
             break
         time.sleep(0.05)
     assert len(_worker_threads()) <= before, "producer thread leaked"
+
+
+def test_slow_consumer_with_full_prefetch_queue_terminates():
+    """Review finding: the end-of-iteration sentinel must not be dropped
+    when the prefetch queue is full (slow consumer, many batches)."""
+    batches = []
+    for batch in loader.Loader(Items(40), batch_size=2, num_workers=2,
+                               prefetch=1):
+        time.sleep(0.02)  # consumer slower than producer
+        batches.append(batch)
+    assert len(batches) == 20
+
+
+def test_error_propagates_with_full_queue():
+    class Broken(Items):
+
+        def __getitem__(self, index):
+            if index == 30:
+                raise RuntimeError("late boom")
+            return super().__getitem__(index)
+
+    with pytest.raises(RuntimeError, match="late boom"):
+        for _ in loader.Loader(Broken(40), batch_size=2, num_workers=2,
+                               prefetch=1):
+            time.sleep(0.02)

@@ -278,3 +278,20 @@ def test_discriminative_bf16_compute_dtype(tmp_path, subject):
     np.testing.assert_array_equal(np.asarray(tk16.indices),
                                   np.asarray(tk32.indices))
     assert (tmp_path / "bf16" / "conv" / "images.npy").exists()
+
+
+def test_caches_keyed_on_units(tmp_path, subject):
+    """Review finding: a run with a different unit subset must not reuse
+    caches written for another subset."""
+    dataset = FakeImageDataset()
+    tally = tmp_path / "tally.npz"
+    masks = tmp_path / "masks.npz"
+    kwargs = dict(layer="conv", k=2, output_size=SIZE, batch_size=4,
+                  num_workers=0, display_progress=False, save_viz=False,
+                  tally_cache_file=tally, masks_cache_file=masks)
+    compute.discriminative(tiny_conv_apply, subject, dataset,
+                           results_dir=tmp_path / "all", **kwargs)
+    compute.discriminative(tiny_conv_apply, subject, dataset, units=[1],
+                           results_dir=tmp_path / "sub", **kwargs)
+    assert np.load(tmp_path / "all" / "conv" / "images.npy").shape[0] == UNITS
+    assert np.load(tmp_path / "sub" / "conv" / "images.npy").shape[0] == 1

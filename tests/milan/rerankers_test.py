@@ -200,3 +200,38 @@ def test_reranker_validates_batch_sizes(rng, clip_with_masks):
     masks = np.ones((1, 4, 1, 16, 16), np.float32)
     with pytest.raises(ValueError):
         model(images, masks, (("a",), ("b",)))
+
+
+def test_decoder_with_clip_predict(rng, clip_with_masks, bpe_tokenizer):
+    """Review finding: +clip decoders must be usable through predict()
+    (raw images/masks reach CLIP, not precomputed features)."""
+    import numpy as np
+    from neuron_descriptions_tpu.milan import decoders as decoders_lib
+    from neuron_descriptions_tpu.utils import lang
+    from tests.milan.conftest import FakeEncoder
+
+    tok = lang.tokenizer(lemmatize=False, ignore_stop=False,
+                         ignore_punct=False)
+    indexer = lang.indexer(["low lower", "er low", "low er lower"],
+                           tokenize=tok, start=True, stop=True, pad=True,
+                           unk=True)
+    model = rerankers.DecoderWithCLIP(
+        indexer, FakeEncoder(), embedding_size=8, hidden_size=16,
+        length=4, beam_size=3,
+        reranker_kwargs={"params": {}, "tokenize": bpe_tokenizer})
+    # Swap in the tiny CLIP tower.
+    model.reranker = rerankers.CLIPWithMasksReranker(clip_with_masks,
+                                                     lam=1.0)
+
+    class DS:
+        def __getitem__(self, i):
+            r = np.random.default_rng(i)
+            return ("layer0", i, r.random((2, 3, 16, 16)).astype(np.float32),
+                    np.ones((2, 1, 16, 16), np.float32), ("low",))
+
+        def __len__(self):
+            return 3
+
+    captions = model.predict(DS(), batch_size=2)
+    assert len(captions) == 3
+    assert all(isinstance(c, str) for c in captions)

@@ -58,8 +58,16 @@ def test_generate_biggan_zs(tmp_path):
 
 
 def test_compute_exemplars_end_to_end(tmp_path):
-    """Full CLI run on a tiny ImageFolder with a weight-free registry key."""
+    """Full CLI run on a tiny ImageFolder, loading weights from the hub's
+    default path (missing weight files fail loudly, so the test stages a
+    checkpoint at <models_dir>/alexnet/imagenet-blurred.pth)."""
+    import pickle
+
+    import jax
+
     from PIL import Image
+    from neuron_descriptions_tpu.models import alexnet
+
     rng = np.random.default_rng(0)
     for cls in ("a", "b"):
         d = tmp_path / "imagefolder" / cls
@@ -67,6 +75,14 @@ def test_compute_exemplars_end_to_end(tmp_path):
         for i in range(3):
             Image.fromarray((rng.random((64, 64, 3)) * 255).astype(
                 np.uint8)).save(d / f"{i}.jpg")
+
+    weights_file = (tmp_path / "models" / "alexnet" /
+                    "imagenet-blurred.pth")
+    weights_file.parent.mkdir(parents=True)
+    weights = {name: np.asarray(value) for name, value in
+               alexnet.init(jax.random.PRNGKey(7)).items()}
+    with weights_file.open("wb") as handle:
+        pickle.dump(weights, handle)
 
     proc = _run(
         ["scripts.compute_exemplars", "alexnet", "imagenet-blurred",
