@@ -300,7 +300,8 @@ def compute(compute_topk_and_quantile: ComputeTopkAndQuantileFn,
 
                 images_out = np.zeros((n_units, k, 3, size, size),
                                       dtype=np.uint8)
-                masks_out = np.zeros((n_units, k, 1, size, size), dtype=np.uint8)
+                masks_out = np.zeros((n_units, k, 1, size, size),
+                                     dtype=np.uint8)
                 masked_out = np.zeros((n_units, k, 3, size, size),
                                       dtype=np.uint8)
 
@@ -361,7 +362,8 @@ def compute(compute_topk_and_quantile: ComputeTopkAndQuantileFn,
                 np.save(results_dir / "images.npy", images_out)
                 np.save(results_dir / "masks.npy", masks_out)
                 np.savetxt(results_dir / "activations.csv",
-                           values.reshape(n_units, k), delimiter=",", fmt="%.5e")
+                           values.reshape(n_units, k), delimiter=",",
+                           fmt="%.5e")
                 np.savetxt(results_dir / "ids.csv", ids.reshape(n_units, k),
                            delimiter=",", fmt="%i")
 

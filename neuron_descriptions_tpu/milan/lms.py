@@ -163,7 +163,8 @@ class LanguageModel(serialize.SerializableParams):
     forward = __call__
 
     def logp(self, sequences: StrSequence, **_: Any) -> Array:
-        """Log-probability of each text sequence (reference: lms.py:103-132)."""
+        """Log-probability of each text sequence
+        (reference: lms.py:103-132)."""
         inputs = jnp.asarray(
             self.indexer(sequences, start=True, stop=True, pad=True,
                          unk=True), jnp.int32)

@@ -6,9 +6,11 @@ follows the standard JAX recipe: build a named ``Mesh``, annotate array
 shardings with ``NamedSharding``/``PartitionSpec``, and let XLA insert the
 collectives (psum/all-gather) that ride the ICI links.
 """
-from neuron_descriptions_tpu.parallel.mesh import (DATA_AXIS, data_sharding,
-                                                   default_mesh, pad_to_multiple,
-                                                   replicated, shard_batch)
+from neuron_descriptions_tpu.parallel.mesh import (DATA_AXIS,
+                                                    data_sharding,
+                                                    default_mesh,
+                                                    pad_to_multiple,
+                                                    replicated, shard_batch)
 
 __all__ = [
     "DATA_AXIS",

@@ -42,7 +42,8 @@ __all__ = [
 # ---------------------------------------------------------------------------
 
 # Characters spaCy's English punct rules strip from token edges / split on.
-_PREFIX_RE = re.compile(r"""^([\(\)\[\]\{\}<>"'`“”‘’«».,;:!?\-–—…$£€#%&*+/\\])""")
+_PREFIX_RE = re.compile(
+    r"""^([\(\)\[\]\{\}<>"'`“”‘’«».,;:!?\-–—…$£€#%&*+/\\])""")
 _SUFFIX_RE = re.compile(r"""([\(\)\[\]\{\}<>"'`“”‘’«».,;:!?%…\-–—])$""")
 # Infixes: split around hyphens/slashes/ellipses between word characters
 # (spaCy splits "blue-green" -> ["blue", "-", "green"]).

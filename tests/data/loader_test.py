@@ -21,7 +21,8 @@ class Items:
 
 
 def _worker_threads():
-    return [t for t in threading.enumerate() if t is not threading.main_thread()]
+    return [t for t in threading.enumerate()
+            if t is not threading.main_thread()]
 
 
 @pytest.mark.parametrize("num_workers", (0, 4))
