@@ -169,3 +169,28 @@ def test_join():
     assert lang.join({"b", "a"}) == "a b"
     with pytest.raises(ValueError):
         lang.join(5)
+
+
+def test_reconstruct_realistic_captions(indexer):
+    """MILAN-paper-style captions survive tokenize -> reconstruct."""
+    tokenize = lang.tokenizer(lemmatize=False, ignore_stop=False,
+                              ignore_punct=False)
+    captions = (
+        "The heads of geese and ducks",
+        "Horizontal and vertical lines on a screen",
+        "The tops of buildings against the sky",
+        "Blue-green areas of water",
+        "Text on a white background, usually words",
+    )
+    for caption in captions:
+        tokens = tokenize(caption)
+        rebuilt = indexer.reconstruct(list(tokens))
+        assert rebuilt == caption.capitalize() or rebuilt == caption, (
+            caption, rebuilt)
+
+
+def test_tokenize_index_reconstruct_round_trip(indexer):
+    """Full chain with in-vocab words: text -> ids -> text."""
+    text = "the dog runs fast"
+    ids = indexer(text)
+    assert indexer.reconstruct(list(ids)) == "The dog runs fast"
