@@ -295,3 +295,27 @@ def test_caches_keyed_on_units(tmp_path, subject):
                            results_dir=tmp_path / "sub", **kwargs)
     assert np.load(tmp_path / "all" / "conv" / "images.npy").shape[0] == UNITS
     assert np.load(tmp_path / "sub" / "conv" / "images.npy").shape[0] == 1
+
+
+def test_mesh_with_units_subset(tmp_path, subject):
+    """Sharded pass 1 composes with the units= closure wrappers."""
+    import jax
+
+    from neuron_descriptions_tpu.parallel import mesh as mesh_lib
+
+    dataset = FakeImageDataset()
+    mesh = mesh_lib.default_mesh(len(jax.devices()))
+    kwargs = dict(layer="conv", units=[2, 0], k=2, output_size=SIZE,
+                  batch_size=4, num_workers=0, display_progress=False,
+                  save_viz=False)
+    tk1, _ = compute.discriminative(tiny_conv_apply, subject, dataset,
+                                    results_dir=tmp_path / "single",
+                                    **kwargs)
+    tkn, _ = compute.discriminative(tiny_conv_apply, subject, dataset,
+                                    mesh=mesh,
+                                    results_dir=tmp_path / "mesh", **kwargs)
+    np.testing.assert_array_equal(np.asarray(tkn.indices),
+                                  np.asarray(tk1.indices))
+    a = np.load(tmp_path / "single" / "conv" / "images.npy")
+    b = np.load(tmp_path / "mesh" / "conv" / "images.npy")
+    np.testing.assert_array_equal(a, b)

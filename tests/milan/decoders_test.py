@@ -406,3 +406,17 @@ def test_predict_mesh_sharded(model, annotated_dataset):
     sharded = model.predict(annotated_dataset, strategy="greedy",
                             batch_size=4, mesh=mesh)
     assert plain == sharded
+
+
+def test_score_with_lm_uses_pmi(model_with_lm, indexer, features):
+    """score() defaults to PMI when an LM is attached (reference:
+    decoders.py:636-711 forwards mi through forced decoding)."""
+    model = model_with_lm
+    captions = ["the dog runs", "a blue sky"]
+    pmi_scores = np.asarray(model.score(captions,
+                                        jnp.asarray(features[:1])))
+    lik_scores = np.asarray(model.score(captions,
+                                        jnp.asarray(features[:1]),
+                                        mi=False))
+    assert pmi_scores.shape == (2,)
+    assert not np.allclose(pmi_scores, lik_scores)
