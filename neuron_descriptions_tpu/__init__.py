@@ -18,4 +18,4 @@ as a TPU-first JAX framework:
 - ``utils``: env config, hubs, language tooling, serialization, metrics.
 """
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
